@@ -1,0 +1,22 @@
+package graft.cdc
+
+/** One change event of the binlog/WAL stream: a row-insert into the source
+  * table of shape `(repo, path, commit, lang, content)` (the driver-mandated
+  * input shape) plus the change-log envelope the tail adds.
+  *
+  * Re-keying (SURVEY.md §1.3): `repo` is the session key (reference
+  * `conversationID`), `commit` the event id / dedup key (reference `GUID`),
+  * `content` the payload whose sha256 is the per-row replay invariant.
+  */
+final case class ChangeEvent(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    // envelope (engine-internal, FIXTURES.md §1)
+    offset: Long,
+    op: String,
+    tsMicros: Long,
+    epoch: Long,
+)

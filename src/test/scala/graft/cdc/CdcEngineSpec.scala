@@ -1,0 +1,133 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end engine properties: incremental == full recompute, replay from
+  * any checkpoint is byte-identical (row_sha256 equality), redelivery is
+  * idempotent, epoch re-apply is a no-op (exactly-once), schema evolution,
+  * crash atomicity.
+  */
+class CdcEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 24L * 3600 * 1000000L
+  private val cfg = GenConfig(numConversations = 200, hotConversations = 2,
+    hotFragments = 64, redeliveryPermille = 50, epochs = 4)
+  private lazy val log = ChangeLogGen.generate(spark, cfg).cache()
+
+  private def shaMap(df: DataFrame): Map[String, String] =
+    df.select("repo", "row_sha256").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def buildIncremental(dir: String, epochs: Seq[Long]): CdcEngine = {
+    val eng = new CdcEngine(dir, numBuckets = 8, cutoffMicros = 14 * day)
+    epochs.foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    eng
+  }
+
+  test("incremental epoch-by-epoch apply equals one-shot full classification") {
+    val eng = buildIncremental(tmpDir("inc"), Seq(0L, 1L, 2L, 3L))
+    val incremental = shaMap(eng.currentTransfers(spark))
+
+    val full = shaMap(CdcPipeline.withRowSha(
+      CdcPipeline.classify(log, 14 * day).toDF()))
+
+    assert(incremental.size == full.size)
+    assert(incremental == full)
+    // sanity: outcome mix covers all four statuses
+    val statuses = eng.currentTransfers(spark)
+      .select("status").distinct().as[String].collect().toSet
+    assert(statuses.size == 4, s"statuses seen: $statuses")
+  }
+
+  test("replay from epoch 0 reproduces identical table state (sha-for-sha)") {
+    val a = buildIncremental(tmpDir("replayA"), Seq(0L, 1L, 2L, 3L))
+    val b = buildIncremental(tmpDir("replayB"), Seq(0L, 1L, 2L, 3L))
+    assert(shaMap(a.currentTransfers(spark)) == shaMap(b.currentTransfers(spark)))
+  }
+
+  test("re-applying a committed epoch is a no-op (exactly-once)") {
+    val dir = tmpDir("once")
+    val eng = buildIncremental(dir, Seq(0L, 1L))
+    val before = shaMap(eng.currentTransfers(spark))
+    val manifestBefore = eng.transfers.latestManifest().get
+    // redo epoch 1 (e.g. restarted job replaying from checkpoint)
+    eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L)
+    assert(eng.transfers.latestManifest().get == manifestBefore)
+    assert(shaMap(eng.currentTransfers(spark)) == before)
+  }
+
+  test("redelivery is idempotent: duplicated batch yields identical state") {
+    val clean = buildIncremental(tmpDir("cleanlog"), Seq(0L, 1L, 2L, 3L))
+    // duplicate EVERY event (worst-case redelivery) at shifted offsets
+    val noisy = log.union(log.map(e => e.copy(offset = e.offset + 1000000000L)))
+    val dirNoisy = tmpDir("noisylog")
+    val engNoisy = new CdcEngine(dirNoisy, numBuckets = 8, cutoffMicros = 14 * day)
+    (0L to 3L).foreach(e => engNoisy.applyEpoch(spark, noisy.filter(_.epoch == e), e))
+    assert(shaMap(clean.currentTransfers(spark)) == shaMap(engNoisy.currentTransfers(spark)))
+  }
+
+  test("late events past cutoff are excluded from classification") {
+    // conversation with ack 20 days after start, cutoff 14d → not integrated
+    val events = ChangeLogGen.generate(spark, cfg).filter(_.repo == "repo-0000000000")
+    assert(events.count() > 0)
+    val strict = CdcPipeline.classify(events, 14 * day).collect().head
+    val lax = CdcPipeline.classify(events, 0L).collect().head // cutoff 0 = keep all
+    assert(lax.eventCount >= strict.eventCount)
+  }
+
+  test("time travel: snapshotAt an earlier epoch sees the earlier state") {
+    val eng = buildIncremental(tmpDir("tt"), Seq(0L, 1L, 2L, 3L))
+    val at0 = LakeTable.readSnapshot(eng.transfers, spark, asOf = 0L).count()
+    val at3 = eng.currentTransfers(spark).count()
+    assert(at0 > 0 && at0 < at3)
+  }
+
+  test("schema evolution: new nullable column in a later epoch, old rows read as null") {
+    val dir = tmpDir("evo")
+    val t = new LakeTable(s"$dir/t", numBuckets = 4, keyColumns = Seq("k"))
+    t.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), epoch = 0L, versionCol = "v")
+    // epoch 1 adds a column
+    t.merge(Seq(("b", 3L, "new"), ("c", 4L, "col")).toDF("k", "v", "extra"),
+      epoch = 1L, versionCol = "v")
+    val m = t.latestManifest().get
+    assert(m.schemaId == 2)
+    val snap = LakeTable.readSnapshot(t, spark).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(snap.toSeq == Seq(("a", 1L, None), ("b", 3L, Some("new")), ("c", 4L, Some("col"))))
+  }
+
+  test("crash between data write and manifest commit leaves state invisible") {
+    val dir = tmpDir("crash")
+    val t = new LakeTable(s"$dir/t", numBuckets = 4, keyColumns = Seq("k"))
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), epoch = 0L, versionCol = "v")
+    // simulate a crashed epoch-1 write: orphan data dir, no manifest
+    val orphan = new java.io.File(s"$dir/t/data/e000000000001/__bucket=0")
+    orphan.mkdirs()
+    Seq(("zzz", 99L)).toDF("k", "v").write.mode("overwrite").parquet(orphan.toString)
+    val snap = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
+    assert(snap == Set(("a", 1L))) // orphan invisible
+    // recovery: re-running epoch 1 commits atomically over the orphan dir
+    t.merge(Seq(("b", 2L)).toDF("k", "v"), epoch = 1L, versionCol = "v")
+    val snap2 = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
+    assert(snap2 == Set(("a", 1L), ("b", 2L)))
+  }
+
+  test("state table keeps first-seen offset for redelivered commits (insert-ignore)") {
+    val dir = tmpDir("firstwins")
+    val eng = new CdcEngine(dir, numBuckets = 4, cutoffMicros = 0L)
+    val e1 = ChangeEvent("r1", "p", "c1", "scala",
+      MessageParser.format(graft.classifier.SpineMessage(
+        1577836800000000L, "r1", "c1",
+        graft.classifier.Interactions.EhrRequestStarted, "a", "b", None, None, None, None)),
+      offset = 5L, op = "insert", tsMicros = 1L, epoch = 0L)
+    eng.applyEpoch(spark, Seq(e1).toDS(), 0L)
+    eng.applyEpoch(spark, Seq(e1.copy(offset = 900L, epoch = 1L)).toDS(), 1L)
+    val st = LakeTable.readSnapshot(eng.state, spark)
+    assert(st.count() == 1)
+    assert(st.select("offset").as[Long].collect().head == 5L)
+  }
+}
