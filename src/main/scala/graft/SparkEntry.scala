@@ -1,13 +1,351 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.{CdcPipeline, ChangeLogGen, GenConfig}
+import graft.ops.{MultimodalOps, TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one query per implemented operator family (SURVEY.md §2)
+  * plus the training-data-pipeline operators. Each `queries` entry runs on
+  * the parquet tables under the given scale dir; each `oracleSql` entry is
+  * the DuckDB-equivalent SQL (column names/types aligned — integer aggregates
+  * cast to BIGINT on both sides; float arithmetic avoided in compared
+  * columns). Entries without an oracle are engine-specific (xxhash-based
+  * sketches, the CDC engine itself) and get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the CDC engine end-to-end on a deterministic change log. */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = GenConfig(numConversations = 100, hotConversations = 1, hotFragments = 64)
+    CdcPipeline.withRowSha(
+      CdcPipeline.classify(ChangeLogGen.generate(spark, cfg), 14L * 24 * 3600 * 1000000L).toDF())
+  }
+
+  private val errCode: Column =
+    when(col("event_type") === "error", floor(col("value")).cast("long"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1/S3/P1/P6: scan, typed projection, null-encoding predicates ----
+    "q01_scan_project" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          errCode.as("error_code"))
+        .filter(col("event_type").isin("error", "purchase", "signup"))),
+
+    // ---- P2: range-predicate filter (partition-pruning shape) ----
+    "q02_filter_window" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))),
+
+    // ---- A1/A4/A6: hash group-by session key, predicate aggregates ----
+    "q03_session_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("has_signup"))),
+
+    // ---- P3: cutoff window within group (relational form) ----
+    "q04_cutoff_filter" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      t(s, d, "events")
+        .withColumn("t0", min("ts").over(w))
+        .filter(col("ts") <= col("t0") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(count(lit(1)).as("kept"))
+    }),
+
+    // ---- J4/A2: find-first per group over a priority order ----
+    "q05_first_purchase" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts").as("first_ts"))
+    }),
+
+    // ---- J1: ack-pairing as an equi self-join within key ----
+    "q06_pair_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id"), col("ts").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"))
+      // condition inside the left join so click-less purchases survive
+      p.join(c, col("p_user") === col("c_user") && col("cts") <= col("pts"), "left_outer")
+        .groupBy("p_user", "event_id")
+        .agg(max("cts").as("last_click_ts"))
+        .withColumnRenamed("p_user", "user_id")
+    }),
+
+    // ---- J3: as-of (most recent ≤ t) via running window max ----
+    "q07_asof_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("last_signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .select("event_id", "user_id", "last_signup_ts")
+    }),
+
+    // ---- J2: broadcast dimension join chain ----
+    "q08_dim_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(
+          count(lit(1)).as("n_customers"),
+          min("c_acctbal").as("min_acctbal"),
+          max("c_acctbal").as("max_acctbal"))),
+
+    // ---- fact-to-fact shuffle join + broadcast dim ----
+    "q09_fact_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus").agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))),
+
+    // ---- A3 relational: outcome classification as a CASE tree ----
+    "q10_outcome_case" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+        .withColumn("outcome",
+          when(col("np") > 0 && col("ne") === 0, "healthy")
+            .when(col("np") > 0, "mixed")
+            .when(col("ne") > 0, "failing")
+            .otherwise("inactive"))
+        .groupBy("outcome").agg(count(lit(1)).as("n_users"))),
+
+    // ---- S2: multi-slice union ----
+    "q11_union_slices" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val wk1 = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      val wk3 = ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("ts") < lit("2024-01-22").cast("timestamp"))
+      wk1.unionByName(wk3).groupBy("user_id").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- sort/limit: deterministic top-k ----
+    "q12_topk" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc).limit(5)),
+
+    // ---- A5: list-collect keeping interior nulls (the collect_list trap) ----
+    "q13_codes_collect" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"), errCode.as("code"))
+        .groupBy("user_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("code")))),
+          x => x.getField("code")).as("codes"))),
+
+    // ---- dedup: exact (hash fingerprint group) ----
+    "d01_dedup_exact" -> ((s, d) =>
+      TextOps.dedupExact(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- text analysis: token/char/quality counts ----
+    "d02_token_stats" -> ((s, d) =>
+      TextOps.qualityFeatures(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_chars_q").cast("long").as("n_chars_q"),
+          col("n_digits").cast("long").as("n_digits"),
+          col("n_punct").cast("long").as("n_punct"),
+          col("mean_token_len_x100"))),
+
+    // ---- language-ID heuristic ----
+    "d03_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.langGuess(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))),
+
+    // ---- document fingerprinting ----
+    "d04_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp_md5"),
+        sha2(col("text"), 256).as("fp_sha256"))),
+
+    // ---- near-dup: MinHash + LSH + verified n-gram Jaccard (engine hash) ----
+    "d05_minhash_dups" -> ((s, d) =>
+      TextOps.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.2)
+        .select(col("a"), col("b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_x1000"))),
+
+    // ---- near-dup: SimHash + hamming buckets (engine hash) ----
+    "d06_simhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.simhash(col("text")).as("simhash"))),
+
+    // ---- similarity: brute-force cosine top-k (baseline ANN) ----
+    "e01_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- similarity: IVF-bucketed top-k (scale path) ----
+    "e02_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cells = VectorOps.assignCells(emb, "vec_id", "embedding", numCells = 8)
+      VectorOps.ivfTopK(cells, cells.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- embedding near-dup pairs (sign-sketch buckets) ----
+    "e03_cos_dups" -> ((s, d) =>
+      VectorOps.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95).select(col("a"), col("b"))),
+
+    // ---- multimodal plumbing: binary payload batch decode (stub) ----
+    "m01_mm_features" -> ((s, d) =>
+      MultimodalOps.extractFeatures(
+        t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload")
+        .select("doc_id", "n_bytes", "n_frames")),
+
+    // ---- multimodal plumbing: frame sampling ----
+    "m02_frame_sample" -> ((s, d) =>
+      MultimodalOps.sampleFrames(
+        t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", stride = 2)),
+
+    // ---- the CDC engine itself: deterministic log → classified table ----
+    "c01_cdc_classify" -> ((s, _) => {
+      val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
+      CdcPipeline.withRowSha(CdcPipeline.classify(
+          ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF())
+        .select("repo", "status", "failureReason", "slaDurationSeconds",
+          "eventCount", "minOffset", "maxOffset", "row_sha256")
+    }),
+  )
+
+  private val errCodeSql =
+    "CASE WHEN event_type = 'error' THEN CAST(FLOOR(value) AS BIGINT) END"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      s"""SELECT event_id, user_id, event_type, $errCodeSql AS error_code
+         FROM events WHERE event_type IN ('error','purchase','signup')""",
+    "q02_filter_window" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+         GROUP BY event_type""",
+    "q03_session_agg" ->
+      """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+         CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         CAST(MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS has_signup
+         FROM events GROUP BY user_id""",
+    "q04_cutoff_filter" ->
+      """SELECT user_id, count(*) AS kept FROM (
+           SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS t0 FROM events
+         ) WHERE ts <= t0 + INTERVAL 7 DAY GROUP BY user_id""",
+    "q05_first_purchase" ->
+      """SELECT user_id, event_id, ts AS first_ts FROM (
+           SELECT user_id, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'purchase') WHERE rn = 1""",
+    "q06_pair_join" ->
+      """SELECT p.user_id, p.event_id, max(c.cts) AS last_click_ts
+         FROM (SELECT user_id, event_id, ts AS pts FROM events WHERE event_type='purchase') p
+         LEFT JOIN (SELECT user_id, ts AS cts FROM events WHERE event_type='click') c
+           ON p.user_id = c.user_id AND c.cts <= p.pts
+         GROUP BY p.user_id, p.event_id""",
+    "q07_asof_window" ->
+      """SELECT event_id, user_id,
+         max(CASE WHEN event_type='signup' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+         FROM events""",
+    "q08_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+                min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q09_fact_join" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_orderstatus""",
+    "q10_outcome_case" ->
+      """SELECT outcome, count(*) AS n_users FROM (
+           SELECT user_id,
+             CASE WHEN np > 0 AND ne = 0 THEN 'healthy'
+                  WHEN np > 0 THEN 'mixed'
+                  WHEN ne > 0 THEN 'failing'
+                  ELSE 'inactive' END AS outcome
+           FROM (SELECT user_id,
+                   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS np,
+                   SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS ne
+                 FROM events GROUP BY user_id)
+         ) GROUP BY outcome""",
+    "q11_union_slices" ->
+      """SELECT user_id, count(*) AS n FROM (
+           SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+           UNION ALL
+           SELECT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+         ) GROUP BY user_id""",
+    "q12_topk" ->
+      """SELECT user_id, count(*) AS n FROM events WHERE event_type='purchase'
+         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5""",
+    "q13_codes_collect" ->
+      s"""SELECT user_id, list($errCodeSql ORDER BY ts, event_id) AS codes
+         FROM events WHERE event_type IN ('purchase','error') GROUP BY user_id""",
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "d02_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(CASE WHEN len(string_split(text, ' ')) > 0 THEN
+             (length(text) - (len(string_split(text, ' ')) - 1)) * 100 // len(string_split(text, ' '))
+             ELSE 0 END AS BIGINT) AS mean_token_len_x100
+         FROM documents""",
+    "d03_langid" ->
+      """SELECT lang, guess, count(*) AS n FROM (
+           SELECT doc_id, lang,
+             CASE WHEN best >= 8 THEN
+               CASE best % 8 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+                             WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END
+             ELSE 'und' END AS guess
+           FROM (
+             SELECT doc_id, lang, GREATEST(
+               CAST(len(list_intersect(ws, ['der','die','und','das','ist','nicht'])) AS BIGINT)*8 + 0,
+               CAST(len(list_intersect(ws, ['the','and','of','to','a','in','is'])) AS BIGINT)*8 + 1,
+               CAST(len(list_intersect(ws, ['el','la','de','que','los','es'])) AS BIGINT)*8 + 2,
+               CAST(len(list_intersect(ws, ['le','la','et','les','des','est'])) AS BIGINT)*8 + 3,
+               CAST(len(list_intersect(ws, ['的','是','了','在','我'])) AS BIGINT)*8 + 4) AS best
+             FROM (SELECT doc_id, lang,
+                     list_distinct(string_split(lower(text), ' ')) AS ws
+                   FROM documents))
+         ) GROUP BY lang, guess""",
+    "d04_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256 FROM documents""",
+    "m01_mm_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
+         FROM documents""",
+    "m02_frame_sample" ->
+      """SELECT doc_id, CAST(unnest(range(0, GREATEST(n_frames, 1), 2)) AS BIGINT) AS frame_idx
+         FROM (SELECT doc_id,
+                 (octet_length(encode(text)) + 1023) // 1024 AS n_frames
+               FROM documents)""",
+  )
 }

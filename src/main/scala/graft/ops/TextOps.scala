@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines, built entirely from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): tokenization, quality scoring, language-ID heuristic,
+  * fingerprinting, exact dedup, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale notes:
+  *  - everything per-row is a narrow map — no shuffle until the
+  *    dedup/band-join stage;
+  *  - LSH candidate generation shuffles on (band, bandHash) — cardinality
+  *    ~ docs × bands, with hot buckets bounded by band width;
+  *  - exact dedup groups on a 128-bit fingerprint, not the full text, so
+  *    shuffle payload stays small at 100 TB (text travels only if the
+  *    caller keeps it).
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word shingles (n-grams joined by space). Pure expression: for k-shingles
+    * over w words produces max(w-k+1, 0) shingles.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+  }
+
+  /** BPE-ish sub-word token count: words + digit runs + punctuation islands.
+    * Regex split keeps it deterministic and engine-portable.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), w => length(w) > 0)) +
+      size(filter(split(text, "[A-Za-z0-9 ]+"), w => length(w) > 0))
+
+  /** Quality features: length, token stats, punctuation/digit/upper ratios
+    * as exact integer counts (ratios left to the caller to avoid float
+    * nondeterminism across engines).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_digits", length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .withColumn("n_punct", length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", "")))
+      .withColumn("n_upper", length(t) - length(regexp_replace(t, "[A-Z]", "")))
+      .withColumn("mean_token_len_x100",
+        // floor division (matches SQL `//`); Spark `/` is double division and
+        // a straight cast would truncate where DuckDB's CAST rounds
+        when(col("n_tokens") > 0,
+          floor(((length(t) - (col("n_tokens") - 1)) * 100) / col("n_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Language-ID heuristic: marker-word hit counts per language, winner by
+    * (hits desc, language asc). Deterministic; replace marker lists with
+    * n-gram profiles for production accuracy.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** Distinct marker-word hits for one language. */
+  def langHits(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(langMarkers(lang).map(lit): _*))).cast("long")
+
+  /** Winner = language with max (hits, rank) — encoded arithmetically as
+    * hits*8 + rank so the exact same logic is one GREATEST in ANSI SQL
+    * (rank order: de=0, en=1, es=2, fr=3, zh=4; ties → higher rank; zero
+    * hits everywhere → "und").
+    */
+  def langGuess(text: Column): Column = {
+    val ranked = langMarkers.keys.toSeq.sorted.zipWithIndex
+    val scores = ranked.map { case (lang, r) => langHits(text, lang) * 8 + r }
+    val best = greatest(scores: _*)
+    val byRank = ranked.foldLeft(lit("und")) { case (acc, (lang, r)) =>
+      when(best >= 8 && pmod(best, lit(8)) === r, lit(lang)).otherwise(acc)
+    }
+    byRank
+  }
+
+  /** 128-bit content fingerprint (md5 — stable across engines, so exact
+    * dedup is oracle-checkable), plus 64-bit xxhash for cheap grouping.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Exact dedup: keep the lowest id per distinct content. Groups on the
+    * md5 fingerprint so the shuffle carries (16B hash, id), not documents.
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: `numHashes` permutations via seeded xxhash64 over
+    * k-shingles. Returns array<bigint> of length numHashes (empty-shingle
+    * docs get Long.MaxValue sentinels).
+    */
+  def minhash(text: Column, k: Int = 3, numHashes: Int = 32): Column = {
+    val sh = shingles(text, k)
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      coalesce(
+        array_min(transform(sh, s => xxhash64(s, seed))),
+        lit(Long.MaxValue)))
+  }
+
+  /** LSH banding: split the signature into `bands` bands and hash each —
+    * docs sharing any band hash become candidate near-dup pairs.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws("_",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))),
+        ).as("bhash")))
+
+  /** Near-duplicate candidate pairs via MinHash + LSH, verified with exact
+    * shingle Jaccard. One shuffle on (band, bandHash); self-join within
+    * buckets; `idCol` ordering dedups the pair space.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("sh"),
+      minhash(col(textCol), k, numHashes).as("sig"))
+    val banded = sigs
+      .select(col("doc_id"), col("sh"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bhash"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sh").as("sha"), col("r.sh").as("shb"))
+      .distinct()
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .filter(col("uni") > 0 && col("inter") >= col("uni") * jaccardThreshold)
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word hashes — bit-vote fold as a pure aggregate
+    * expression (no UDF): votes[i] += (wordHash >> i) & 1 ? 1 : -1.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), w => xxhash64(w))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two simhashes — bit_count(xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
