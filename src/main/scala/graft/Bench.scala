@@ -1,24 +1,74 @@
 package graft
+
+import graft.cdc.{CdcEngine, ChangeLogGen, CdcPipeline, GenConfig}
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * the CDC engine (classify throughput + incremental lake apply + replay),
+  * printing ONE JSON line.
+  */
 object Bench {
+  def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.maxResultSize", "2g")
+    .getOrCreate()
+
+  /** CDC benchmark: returns (events, classifySec, applySec, replaySec). */
+  def cdcBench(spark: SparkSession, conversations: Long): (Long, Double, Double, Double) = {
+    import spark.implicits._
+    val day = 24L * 3600 * 1000000L
+    val cfg = GenConfig(numConversations = conversations,
+      hotConversations = 4, hotFragments = 4096, epochs = 4)
+    val log = ChangeLogGen.generate(spark, cfg)
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    val n = log.count() // materialize generation outside the timed region
+    val classifySec = timed(CdcPipeline.classify(log, 14 * day).write
+      .mode("overwrite").format("noop").save())
+    val wh1 = java.nio.file.Files.createTempDirectory("bench-cdc").toString
+    val eng = new CdcEngine(wh1, numBuckets = 32, cutoffMicros = 14 * day)
+    val applySec = timed(
+      (0L until cfg.epochs.toLong).foreach(e =>
+        eng.applyEpoch(spark, log.filter(_.epoch == e), e)))
+    val wh2 = java.nio.file.Files.createTempDirectory("bench-replay").toString
+    val eng2 = new CdcEngine(wh2, numBuckets = 32, cutoffMicros = 14 * day)
+    val replaySec = timed(
+      (0L until cfg.epochs.toLong).foreach(e =>
+        eng2.applyEpoch(spark, log.filter(_.epoch == e), e)))
+    log.unpersist()
+    (n, classifySec, applySec, replaySec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val conversations = sys.env.getOrElse("SPARK_GRAFT_CDC_CONV", "100000").toLong
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (events, classifySec, applySec, replaySec) = cdcBench(spark, conversations)
+    val all = results ++ Seq(
+      "cdc_classify" -> classifySec, "cdc_apply" -> applySec, "cdc_replay" -> replaySec)
+
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val evPerSec = (events / applySec).toLong
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""cdc_events":$events,"cdc_apply_events_per_sec":$evPerSec,""" +
+      s""""cdc_classify_events_per_sec":${(events / classifySec).toLong},"cpus":"$cpus"}""")
     spark.stop()
   }
 }

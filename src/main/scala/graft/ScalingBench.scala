@@ -1,0 +1,48 @@
+package graft
+
+import graft.cdc.{CdcEngine, ChangeLogGen, CdcPipeline, GenConfig}
+
+/** Two-cluster-size scaling evidence (BASELINE.md): the same CDC job on the
+  * same deterministic input at local[N] and local[4N] (sandbox stand-in for
+  * N vs 4N executors — no real cluster here). Prints throughput at both and
+  * efficiency = T(4N) / (4 · T(N)).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nSmall = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val conversations = sys.env.getOrElse("SPARK_GRAFT_CDC_CONV", "200000").toLong
+    val day = 24L * 3600 * 1000000L
+    val cfg = GenConfig(numConversations = conversations,
+      hotConversations = 4, hotFragments = 4096, epochs = 4)
+
+    def run(cpus: Int): (Long, Double, Double) = {
+      val spark = Bench.session(cpus.toString)
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val log = ChangeLogGen.generate(spark, cfg)
+        .repartition(cpus * 2).cache()
+      val n = log.count()
+      val classifySec = Bench.timed(CdcPipeline.classify(log, 14 * day).write
+        .mode("overwrite").format("noop").save())
+      val wh = java.nio.file.Files.createTempDirectory(s"scale-$cpus").toString
+      val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
+      val applySec = Bench.timed(
+        (0L until cfg.epochs.toLong).foreach(e =>
+          eng.applyEpoch(spark, log.filter(_.epoch == e), e)))
+      log.unpersist()
+      spark.stop()
+      (n, classifySec, applySec)
+    }
+
+    val (n1, c1, a1) = run(nSmall)
+    val (_, c4, a4) = run(nSmall * 4)
+    val effClassify = c1 / (4.0 * c4)
+    val effApply = a1 / (4.0 * a4)
+    println(
+      f"""{"metric":"scaling_efficiency","events":$n1,"n":$nSmall,"n4":${nSmall * 4},""" +
+      f""""classify_sec_n":$c1%.2f,"classify_sec_4n":$c4%.2f,"classify_eff":$effClassify%.3f,""" +
+      f""""apply_sec_n":$a1%.2f,"apply_sec_4n":$a4%.2f,"apply_eff":$effApply%.3f,""" +
+      f""""classify_eps_n":${(n1 / c1).toLong},"classify_eps_4n":${(n1 / c4).toLong},""" +
+      f""""apply_eps_n":${(n1 / a1).toLong},"apply_eps_4n":${(n1 / a4).toLong}}""")
+  }
+}

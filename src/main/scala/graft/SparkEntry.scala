@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.{CdcPipeline, ChangeLogGen, GenConfig}
+import graft.cdc.{CdcPipeline, ChangeLogGen, Enrichment, GenConfig}
 import graft.ops.{MultimodalOps, TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -178,8 +178,10 @@ object SparkEntry {
 
     // ---- near-dup: MinHash + LSH + verified n-gram Jaccard (engine hash) ----
     "d05_minhash_dups" -> ((s, d) =>
+      // r=8 rows/band: candidate probability j^8 per band — same-vocabulary
+      // corpora don't flood the pair space (j=0.5 → ~1.5% candidates)
       TextOps.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.2)
+        k = 3, numHashes = 32, bands = 4, jaccardThreshold = 0.5)
         .select(col("a"), col("b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_x1000"))),
 
     // ---- near-dup: SimHash + hamming buckets (engine hash) ----
@@ -219,6 +221,18 @@ object SparkEntry {
       MultimodalOps.sampleFrames(
         t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
         "doc_id", "payload", stride = 2)),
+
+    // ---- J2/J3: org-dimension enrichment (as-of month + fallback) ----
+    "c02_cdc_enriched" -> ((s, _) => {
+      val cfg = GenConfig(numConversations = 200, hotConversations = 1, hotFragments = 32)
+      val transfers = CdcPipeline.classify(
+        ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF()
+      val dim = Enrichment.generateDim(s, numAsids = 997, yearMonths = Seq(201912, 202001))
+      Enrichment.enrich(transfers, dim)
+        .select("repo", "status", "requestingPracticeAsid",
+          "requesting_practice_ods_code", "requesting_practice_sicbl_name",
+          "sending_practice_ods_code", "sending_practice_name")
+    }),
 
     // ---- the CDC engine itself: deterministic log → classified table ----
     "c01_cdc_classify" -> ((s, _) => {

@@ -158,14 +158,15 @@ final class CdcEngine(
 
     val dedupedDf = deduped.toDF().cache()
     try {
-      val stats = dedupedDf.agg(
-        count(lit(1)), coalesce(min("offset"), lit(0L)), coalesce(max("offset"), lit(0L)))
+      // one pass: batch stats + touched buckets (state and transfers hash the
+      // same repo column, so the touched set is shared by both merges)
+      val stats = dedupedDf
+        .agg(
+          count(lit(1)), coalesce(min("offset"), lit(0L)), coalesce(max("offset"), lit(0L)),
+          collect_set(state.bucketCol))
         .collect()(0)
       val batchRows = stats.getLong(0)
-
-      // prune: which state buckets does this batch touch?
-      val touched = dedupedDf.select(state.bucketCol.as("b")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      val touched = stats.getSeq[Int](3).toSet
 
       // prior events of the affected repos only (bucket-pruned + key semi-join)
       val priorState = state.snapshot(spark, buckets = Some(touched))
@@ -193,12 +194,13 @@ final class CdcEngine(
       // state first, then transfers: a crash in between re-runs the epoch —
       // state merge is already committed ⇒ skipped; transfers recomputed
       // identically from identical state (determinism = exactly-once)
-      state.merge(
+      // state is insert-ignore → append-only commit (anti-join drops known
+      // event ids; no bucket rewrite — write cost is O(batch))
+      state.appendNew(
         dedupedDf.withColumn("content_sha256", sha2(col("content"), 256)),
-        epoch, versionCol = "offset", incomingWins = false,
-        metadata = meta, lineage = lineage)
+        epoch, metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
       transfers.merge(upserts, epoch, versionCol = "maxOffset",
-        metadata = meta, lineage = lineage)
+        metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
     } finally dedupedDf.unpersist()
   }
 

@@ -1,0 +1,114 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension enrichment — the reference's organisation lookup as Spark joins.
+  *
+  * Reference semantics donors:
+  *  - J2 broadcast practice lookup: 4 hand-built hash maps asid→ods/name,
+  *    ods→sicbl (`organisation_lookup.py:14-45`), probed per transfer with
+  *    null-pad on miss (`transfer_service.py:98-126`);
+  *  - J3 monthly version selection with previous-month fallback:
+  *    `(year, month) → lookup`, falling back to the prior month when a
+  *    month's snapshot is missing (`organisation_metadata_monthly.py:26-34`,
+  *    `transfer_classifier.py:171-193`).
+  *
+  * Spark shape: the dim is tiny next to the fact table → effective-as-of
+  * resolution happens on the DIM side (a window over months per asid), then
+  * one broadcast equi-join per practice role. The fact table is never
+  * shuffled for enrichment.
+  */
+object Enrichment {
+
+  /** The monthly organisation dimension row. */
+  final case class OrgDimRow(
+      asid: String,
+      odsCode: String,
+      name: String,
+      sicblOdsCode: String,
+      sicblName: String,
+      yearMonth: Int, // yyyymm
+  )
+
+  /** Deterministic dim generator: `numAsids` practices over the given
+    * months; ~1/7 of asids are missing from each month after the first
+    * (previous-month fallback fixture), ~1/11 missing everywhere
+    * (null-pad-on-miss fixture).
+    */
+  def generateDim(spark: SparkSession, numAsids: Int, yearMonths: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until numAsids
+      if i % 11 != 10 // never present → join miss
+      (ym, mi) <- yearMonths.zipWithIndex
+      if mi == 0 || (i + mi) % 7 != 0 // gap months → previous-month fallback
+    } yield OrgDimRow(
+      asid = s"asid-$i",
+      odsCode = f"O$i%05d-$ym",
+      name = s"Practice $i (as of $ym)",
+      sicblOdsCode = f"S${i % 50}%03d",
+      sicblName = s"SICBL ${i % 50}",
+      yearMonth = ym,
+    )
+    rows.toDF()
+  }
+
+  /** Expand the dim to one EFFECTIVE row per (asid, query month): the latest
+    * snapshot with yearMonth ≤ the query month (as-of semantics). Runs on
+    * the dim only — broadcastable output.
+    */
+  def effectiveAsOf(dim: DataFrame, queryMonths: Seq[Int]): DataFrame = {
+    val months = queryMonths.distinct.sorted
+    val w = Window.partitionBy("asid").orderBy(col("yearMonth").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim
+      .withColumn("qm", explode(lit(months.toArray)))
+      .filter(col("yearMonth") <= col("qm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("asid", "qm").orderBy(col("yearMonth").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn", "yearMonth")
+      .withColumnRenamed("qm", "yearMonth")
+  }
+
+  private def roleCols(prefix: String) = Seq(
+    col("odsCode").as(s"${prefix}_practice_ods_code"),
+    col("name").as(s"${prefix}_practice_name"),
+    col("sicblOdsCode").as(s"${prefix}_practice_sicbl_ods_code"),
+    col("sicblName").as(s"${prefix}_practice_sicbl_name"),
+  )
+
+  /** Enrich classified transfers with requesting/sending practice metadata,
+    * as-of the transfer's request month, null-padded on miss. Two broadcast
+    * joins; zero shuffles of the transfers side.
+    */
+  def enrich(transfers: DataFrame, dim: DataFrame): DataFrame = {
+    val spark = transfers.sparkSession
+    import spark.implicits._
+    val months = transfers
+      .select((year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
+        month(timestamp_micros(col("dateRequestedMicros")))).cast("int").as("ym"))
+      .distinct().as[Int].collect().toSeq
+    if (months.isEmpty) return transfers
+    val eff = effectiveAsOf(dim, months)
+    val reqDim = eff.select(
+      (col("asid").as("__req_asid") +: col("yearMonth").as("__ym_r") +:
+        roleCols("requesting")): _*)
+    val sndDim = eff.select(
+      (col("asid").as("__snd_asid") +: col("yearMonth").as("__ym_s") +:
+        roleCols("sending")): _*)
+    transfers
+      .withColumn("__ym",
+        (year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
+          month(timestamp_micros(col("dateRequestedMicros")))).cast("int"))
+      .join(broadcast(reqDim),
+        col("requestingPracticeAsid") === col("__req_asid") &&
+          col("__ym") === col("__ym_r"), "left_outer")
+      .join(broadcast(sndDim),
+        col("sendingPracticeAsid") === col("__snd_asid") &&
+          col("__ym") === col("__ym_s"), "left_outer")
+      .drop("__req_asid", "__ym_r", "__snd_asid", "__ym_s", "__ym")
+  }
+}

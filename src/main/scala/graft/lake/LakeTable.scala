@@ -103,6 +103,14 @@ final class LakeTable(
 
   def bucketCol: Column = pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Salt for the merge shuffle: spreads one bucket's rows over several
+    * tasks when a mega-key makes a bucket hot (north-star skew handling).
+    * Hashes the FULL key so salted sub-partitions stay deterministic.
+    */
+  val saltFactor: Int = 4
+  private def saltCol: Column =
+    pmod(xxhash64((keyColumns.map(col) :+ lit("salt")): _*), lit(saltFactor)).cast("int")
+
   /** Current snapshot as a DataFrame (bucket-pruned when `buckets` given). */
   def snapshot(spark: SparkSession, asOf: Long = Long.MaxValue,
                buckets: Option[Set[Int]] = None): DataFrame = {
@@ -131,7 +139,11 @@ final class LakeTable(
               * table needs this so a commit redelivered in a later epoch
               * keeps its FIRST-seen offset, matching full-recompute dedup).
               */
-            incomingWins: Boolean = true): Manifest = {
+            incomingWins: Boolean = true,
+            /** Buckets the batch touches, when the caller already knows
+              * (saves one collect job per merge).
+              */
+            touchedBuckets: Option[Set[Int]] = None): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return manifestAt(epoch).get // exactly-once: epoch already committed
 
@@ -160,8 +172,9 @@ final class LakeTable(
 
     val withBucket = conform(upserts).withColumn("__bucket", bucketCol)
     // buckets touched by this batch — tiny collect (≤ numBuckets ints)
-    val touched = withBucket.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val touched = touchedBuckets.getOrElse(
+      withBucket.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSet)
 
     val oldLive = parent.map(_.files).getOrElse(Seq.empty)
     val (rewritten, carried) = oldLive.partition(f => touched.contains(f.bucket))
@@ -184,8 +197,10 @@ final class LakeTable(
       val mergedRows = unioned
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", "__v")
-        // deterministic file content: stable intra-file order
-        .repartition(math.min(numBuckets, touched.size * 2), col("__bucket"))
+        // merge shuffle is SALTED: a hot bucket (mega-key skew) spreads over
+        // `saltFactor` tasks, each writing its own file into the bucket dir
+        .repartition(math.min(numBuckets, touched.size) * saltFactor,
+          col("__bucket"), saltCol)
         .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
       mergedRows.write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket")
@@ -205,6 +220,82 @@ final class LakeTable(
       parentEpoch = parent.map(_.epoch).getOrElse(-1L),
       schemaId = schemaId,
       schemaJson = mergedSchema.json,
+      keyColumns = keyColumns,
+      numBuckets = numBuckets,
+      files = files,
+      metadata = metadata,
+      lineage = lineage ++ Map("totalRows" -> files.map(_.rows).sum),
+    )
+    writeManifestAtomically(manifest)
+    manifest
+  }
+
+  /** Append-only commit for insert-ignore tables (e.g. the sessions-state
+    * event buffer): rows whose key already exists are dropped via a
+    * bucket-pruned LEFT ANTI join on the key columns only (column-pruned
+    * read of prior files), and ONLY the new rows are written — untouched
+    * files are carried, so write amplification is O(batch), never O(bucket).
+    * Same exactly-once/atomicity rules as merge().
+    */
+  def appendNew(upserts: DataFrame, epoch: Long,
+                metadata: Map[String, String] = Map.empty,
+                lineage: Map[String, Long] = Map.empty,
+                touchedBuckets: Option[Set[Int]] = None): Manifest = {
+    if (Files.exists(manifestPath(epoch)))
+      return manifestAt(epoch).get
+
+    val spark = upserts.sparkSession
+    val parent = latestManifest()
+    require(parent.forall(_.epoch < epoch), s"epoch $epoch not after ${parent.map(_.epoch)}")
+    require(parent.forall(_.schemaJson == upserts.schema.json),
+      "appendNew does not evolve schema; use merge() for schema changes")
+
+    val withBucket = upserts.withColumn("__bucket", bucketCol)
+    val touched = touchedBuckets.getOrElse(
+      withBucket.select("__bucket").distinct().collect().map(_.getInt(0)).toSet)
+
+    val priorKeys = parent match {
+      case Some(p) =>
+        val live = p.files.filter(f => touched.contains(f.bucket))
+        if (live.isEmpty) None
+        else Some(spark.read
+          .schema(DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
+          .parquet(live.map(f => s"$root/${f.path}"): _*)
+          .select(keyColumns.map(col): _*))
+      case None => None
+    }
+    val fresh = priorKeys.fold(withBucket)(pk =>
+      withBucket.join(pk, keyColumns, "left_anti"))
+
+    val epochDirRel = f"data/e$epoch%012d"
+    val counts: Map[Int, Long] =
+      if (touched.isEmpty) Map.empty
+      else {
+        fresh
+          .repartition(math.max(1, math.min(numBuckets, touched.size)) * saltFactor,
+            col("__bucket"), saltCol)
+          .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .parquet(s"$root/$epochDirRel")
+        // pure-redelivery batches write no rows → no bucket dirs to read
+        val epochDir = Paths.get(root, epochDirRel)
+        val hasBuckets = Files.isDirectory(epochDir) &&
+          Files.list(epochDir).iterator().asScala.exists(
+            _.getFileName.toString.startsWith("__bucket="))
+        if (!hasBuckets) Map.empty
+        else spark.read.parquet(s"$root/$epochDirRel")
+          .groupBy("__bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
+    val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
+      FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
+    }
+    val files = (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).sortBy(_.bucket)
+    val manifest = Manifest(
+      epoch = epoch,
+      parentEpoch = parent.map(_.epoch).getOrElse(-1L),
+      schemaId = parent.map(_.schemaId).getOrElse(1),
+      schemaJson = upserts.schema.json,
       keyColumns = keyColumns,
       numBuckets = numBuckets,
       files = files,

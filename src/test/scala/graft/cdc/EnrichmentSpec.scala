@@ -1,0 +1,67 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** J2/J3 semantics: as-of month selection with previous-month fallback
+  * (reference e2e "previous-month ODS fallback" variant,
+  * tests/e2e/test_transfer_classifier.py:477-542) and null-pad on miss.
+  */
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def microsOf(ym: Int, day: Int): Long = {
+    val y = ym / 100; val m = ym % 100
+    java.time.LocalDateTime.of(y, m, day, 12, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+  }
+
+  private val dim = Enrichment.generateDim(spark, numAsids = 30,
+    yearMonths = Seq(201911, 201912, 202001))
+
+  test("dim generator produces gap months and missing asids") {
+    val byAsid = dim.groupBy("asid").count().as[(String, Long)].collect().toMap
+    assert(!byAsid.contains("asid-10"), "asid-10 never present")
+    assert(byAsid.values.exists(_ < 3), "some asids have gap months")
+  }
+
+  test("effectiveAsOf picks the latest snapshot ≤ query month (fallback)") {
+    val eff = Enrichment.effectiveAsOf(dim, Seq(201912, 202001))
+    // asid-6: (6+1)%7==0 → missing in month index 1 (201912) → falls back to 201911
+    val a6 = eff.filter($"asid" === "asid-6" && $"yearMonth" === 201912)
+      .select("odsCode").as[String].collect()
+    assert(a6.toSeq == Seq("O00006-201911"))
+    // and in 202001 (present again) → its own snapshot
+    val a6b = eff.filter($"asid" === "asid-6" && $"yearMonth" === 202001)
+      .select("odsCode").as[String].collect()
+    assert(a6b.toSeq == Seq("O00006-202001"))
+  }
+
+  test("enrich joins both practice roles as-of month, null-pads misses") {
+    val transfers = Seq(
+      // month 201912: requester asid-6 (gap month → 201911 snapshot),
+      // sender asid-10 (never in dim → nulls)
+      ("r1", "asid-6", "asid-10", microsOf(201912, 15)),
+      // month 202001: both present
+      ("r2", "asid-1", "asid-2", microsOf(202001, 3)),
+    ).toDF("repo", "requestingPracticeAsid", "sendingPracticeAsid", "dateRequestedMicros")
+
+    val out = Enrichment.enrich(transfers, dim).collect()
+      .map(r => r.getAs[String]("repo") -> r).toMap
+
+    assert(out("r1").getAs[String]("requesting_practice_ods_code") == "O00006-201911")
+    assert(out("r1").getAs[String]("sending_practice_ods_code") == null)
+    assert(out("r1").getAs[String]("sending_practice_name") == null)
+    assert(out("r2").getAs[String]("requesting_practice_ods_code") == "O00001-202001")
+    assert(out("r2").getAs[String]("sending_practice_ods_code") == "O00002-202001")
+    assert(out("r2").getAs[String]("sending_practice_sicbl_name") == "SICBL 2")
+  }
+
+  test("enrichment plan broadcasts the dim (no shuffle of the fact side)") {
+    val transfers = Seq(("r1", "asid-1", "asid-2", microsOf(202001, 3)))
+      .toDF("repo", "requestingPracticeAsid", "sendingPracticeAsid", "dateRequestedMicros")
+    val plan = Enrichment.enrich(transfers, dim).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
