@@ -184,10 +184,10 @@ object SparkEntry {
         k = 3, numHashes = 32, bands = 4, jaccardThreshold = 0.5)
         .select(col("a"), col("b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_x1000"))),
 
-    // ---- near-dup: SimHash + hamming buckets (engine hash) ----
+    // ---- near-dup: SimHash via the native Catalyst expression ----
     "d06_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        TextOps.simhash(col("text")).as("simhash"))),
+        graft.functions.SimHash64Expr.simhash64(col("text")).as("simhash"))),
 
     // ---- similarity: brute-force cosine top-k (baseline ANN) ----
     "e01_ann_brute" -> ((s, d) => {

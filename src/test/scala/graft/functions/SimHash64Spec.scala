@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** The native expression must agree bit-for-bit with the composed-functions
+  * SimHash (same tokenization, same xxhash64 seed, same vote rule), survive
+  * codegen, and register as a SQL function.
+  */
+class SimHash64Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val base20 = (1 to 20).map(i => s"token$i").mkString(" ")
+  private val texts = Seq(
+    base20,
+    base20,                                    // identical → identical hash
+    base20.replace("token7", "tokenX"),        // 1-of-20 tokens changed → close
+    (1 to 20).map(i => s"other$i").mkString(" "), // all different → far
+    "single",
+    "double  space", // empty token between the two spaces
+    "trailing space ",
+    "",
+  ).zipWithIndex.map(_.swap)
+
+  test("native expression == HOF composition on every fixture") {
+    val df = texts.toDF("id", "t")
+    val rows = df.select(
+      TextOps.simhash($"t").as("hof"),
+      SimHash64Expr.simhash64($"t").as("native")).collect()
+    rows.zip(texts).foreach { case (r, (_, t)) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for '$t'")
+    }
+  }
+
+  test("identical texts collide; near-dups are hamming-close") {
+    val h = texts.toDF("id", "t")
+      .select(SimHash64Expr.simhash64($"t")).as[Long].collect()
+    assert(h(0) == h(1))
+    assert(java.lang.Long.bitCount(h(0) ^ h(2)) <= 16, "near-dup should be close")
+    assert(java.lang.Long.bitCount(h(0) ^ h(3)) > 10, "different should be far")
+  }
+
+  test("registers as SQL function via GraftFunctions/extensions") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64('the quick brown fox') AS h").as[Long].collect().head
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(SimHash64Expr.simhash64($"t")).as[Long].collect().head
+    assert(viaSql == viaCol)
+  }
+
+  test("whole-stage codegen path evaluates (no interpreted fallback errors)") {
+    val n = spark.range(2000).select(concat(lit("tok word "), $"id".cast("string")).as("t"))
+    val distinctHashes = n.select(SimHash64Expr.simhash64($"t")).distinct().count()
+    assert(distinctHashes > 1000)
+  }
+}
