@@ -199,7 +199,7 @@ final class CdcEngine(
       state.appendNew(
         dedupedDf.withColumn("content_sha256", sha2(col("content"), 256)),
         epoch, metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
-      transfers.merge(upserts, epoch, versionCol = "maxOffset",
+      transfers.merge(upserts, epoch,
         metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
     } finally dedupedDf.unpersist()
   }

@@ -126,20 +126,16 @@ final class LakeTable(
     }
   }
 
-  /** MERGE upsert: rows of `upserts` replace existing rows with the same key;
-    * ties within the batch resolved by higher `versionCol` (and deterministic
-    * key order). Copy-on-write per touched bucket. Idempotent per epoch.
+  /** MERGE upsert: rows of `upserts` replace existing rows with the same
+    * key. REQUIRES one row per key in `upserts` (the classify fold emits
+    * exactly that) — which lets the merge be an anti-join (existing keys not
+    * replaced) + union instead of a window row_number, saving a sort and a
+    * shuffle per commit. Copy-on-write per touched bucket. Idempotent per
+    * epoch.
     */
   def merge(upserts: DataFrame, epoch: Long,
-            versionCol: String,
             metadata: Map[String, String] = Map.empty,
             lineage: Map[String, Long] = Map.empty,
-            /** true = upsert (incoming replaces existing on key match);
-              * false = insert-ignore (existing rows win — the sessions-state
-              * table needs this so a commit redelivered in a later epoch
-              * keeps its FIRST-seen offset, matching full-recompute dedup).
-              */
-            incomingWins: Boolean = true,
             /** Buckets the batch touches, when the caller already knows
               * (saves one collect job per merge).
               */
@@ -181,22 +177,15 @@ final class LakeTable(
 
     val epochDirRel = f"data/e$epoch%012d"
     val result: Map[Int, Long] = if (touched.nonEmpty) {
-      val existing =
+      val existingKept =
         if (rewritten.isEmpty) None
         else Some(conform(
           spark.read.schema(DataType.fromJson(parent.get.schemaJson).asInstanceOf[StructType])
             .parquet(rewritten.map(f => s"$root/${f.path}"): _*))
           .withColumn("__bucket", bucketCol)
-          .withColumn("__v", lit(if (incomingWins) Long.MinValue else Long.MaxValue)))
-      val incoming = withBucket.withColumn("__v", col(versionCol).cast("long"))
-      val unioned = existing.fold(incoming)(_.unionByName(incoming))
-      // upsert: incoming (real version) beats existing (MinValue) under desc;
-      // insert-ignore: existing (MaxValue) beats incoming under desc
-      val w = Window.partitionBy(keyColumns.map(col): _*)
-        .orderBy(col("__v").desc)
-      val mergedRows = unioned
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__v")
+          // existing rows whose key is replaced by this batch drop out
+          .join(withBucket.select(keyColumns.map(col): _*), keyColumns, "left_anti"))
+      val mergedRows = existingKept.fold(withBucket)(_.unionByName(withBucket))
         // merge shuffle is SALTED: a hot bucket (mega-key skew) spreads over
         // `saltFactor` tasks, each writing its own file into the bucket dir
         .repartition(math.min(numBuckets, touched.size) * saltFactor,

@@ -89,10 +89,10 @@ class CdcEngineSpec extends SparkSpec {
   test("schema evolution: new nullable column in a later epoch, old rows read as null") {
     val dir = tmpDir("evo")
     val t = new LakeTable(s"$dir/t", numBuckets = 4, keyColumns = Seq("k"))
-    t.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), epoch = 0L, versionCol = "v")
+    t.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), epoch = 0L)
     // epoch 1 adds a column
     t.merge(Seq(("b", 3L, "new"), ("c", 4L, "col")).toDF("k", "v", "extra"),
-      epoch = 1L, versionCol = "v")
+      epoch = 1L)
     val m = t.latestManifest().get
     assert(m.schemaId == 2)
     val snap = LakeTable.readSnapshot(t, spark).orderBy("k")
@@ -103,7 +103,7 @@ class CdcEngineSpec extends SparkSpec {
   test("crash between data write and manifest commit leaves state invisible") {
     val dir = tmpDir("crash")
     val t = new LakeTable(s"$dir/t", numBuckets = 4, keyColumns = Seq("k"))
-    t.merge(Seq(("a", 1L)).toDF("k", "v"), epoch = 0L, versionCol = "v")
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), epoch = 0L)
     // simulate a crashed epoch-1 write: orphan data dir, no manifest
     val orphan = new java.io.File(s"$dir/t/data/e000000000001/__bucket=0")
     orphan.mkdirs()
@@ -111,7 +111,7 @@ class CdcEngineSpec extends SparkSpec {
     val snap = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
     assert(snap == Set(("a", 1L))) // orphan invisible
     // recovery: re-running epoch 1 commits atomically over the orphan dir
-    t.merge(Seq(("b", 2L)).toDF("k", "v"), epoch = 1L, versionCol = "v")
+    t.merge(Seq(("b", 2L)).toDF("k", "v"), epoch = 1L)
     val snap2 = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
     assert(snap2 == Set(("a", 1L), ("b", 2L)))
   }

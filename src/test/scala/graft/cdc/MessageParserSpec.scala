@@ -37,6 +37,28 @@ class MessageParserSpec extends AnyFunSuite {
     assert(MessageParser.parse(MessageParser.format(noOpts)) == noOpts)
   }
 
+  test("fast timestamp path agrees with the formatter across shapes") {
+    val shapes = Seq(
+      "2019-12-02 19:02:29.985 BST", "2019-12-02 19:02:29.985 UTC",
+      "2019-12-02 19:02:29.985123 UTC", "2019-12-02 19:02:29",
+      "2024-02-29 00:00:00.1 UTC", "1999-12-31 23:59:59.999999 BST",
+      "2020-01-01 00:00:00.000001", "2038-01-19 03:14:07 UTC",
+    )
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS][.S]")
+    shapes.foreach { s =>
+      val viaParser = MessageParser.parseTimeMicros(s)
+      val parts = s.split(" ")
+      val (dt, off) =
+        if (parts.length == 3 && parts(2) == "BST") (parts(0) + " " + parts(1), 3600000000L)
+        else if (parts.length == 3) (parts(0) + " " + parts(1), 0L)
+        else (s, 0L)
+      val ldt = java.time.LocalDateTime.parse(dt, fmt)
+      val expect = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.get(java.time.temporal.ChronoField.MICRO_OF_SECOND) - off
+      assert(viaParser == expect, s"for '$s'")
+    }
+  }
+
   test("fail-fast on malformed rows (FailedToConstructMessages… semantics)") {
     intercept[MessageParser.MalformedChangeEventError](MessageParser.parse("too,few,fields"))
     intercept[MessageParser.MalformedChangeEventError](
