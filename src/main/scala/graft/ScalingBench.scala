@@ -11,9 +11,10 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
     val conversations = sys.env.getOrElse("SPARK_GRAFT_CDC_CONV", "200000").toLong
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "4").toInt
     val day = 24L * 3600 * 1000000L
     val cfg = GenConfig(numConversations = conversations,
-      hotConversations = 4, hotFragments = 4096, epochs = 4)
+      hotConversations = 4, hotFragments = 4096, epochs = epochs)
 
     def run(cpus: Int): (Long, Double, Double) = {
       val spark = Bench.session(cpus.toString)

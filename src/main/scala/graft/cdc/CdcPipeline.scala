@@ -105,6 +105,37 @@ object CdcPipeline {
     }
   }
 
+  /** One output row of the fused epoch fold: either a classified transfer or
+    * a fresh (first-seen this epoch) state event — both emitted from the
+    * SAME groupByKey pass so an epoch apply has exactly one shuffle.
+    */
+  final case class ApplyOut(transfer: Option[TransferRecord], event: Option[ChangeEvent])
+
+  /** Fused per-key epoch fold: dedup by commit (min offset), classify the
+    * full session, and emit the deduped events that are NEW this epoch
+    * (their min-offset copy carries the current epoch) for the state table.
+    * Prior-state events carry earlier epochs, so a commit redelivered now
+    * resolves to its first-seen copy and is NOT re-emitted — the same
+    * first-offset-wins rule as full recompute.
+    */
+  def applyGroup(repo: String, events: Iterator[ChangeEvent],
+                 cutoffMicros: Long, currentEpoch: Long): Iterator[ApplyOut] = {
+    val byCommit = mutable.HashMap.empty[String, ChangeEvent]
+    events.foreach { e =>
+      byCommit.get(e.commit) match {
+        case Some(prev) => if (e.offset < prev.offset) byCommit.update(e.commit, e)
+        case None       => byCommit.update(e.commit, e)
+      }
+    }
+    if (byCommit.isEmpty) return Iterator.empty
+    val deduped = byCommit.values.toArray
+    val fresh = deduped.iterator.filter(_.epoch == currentEpoch)
+      .map(e => ApplyOut(None, Some(e)))
+    val transfer = classifyGroup(repo, deduped.iterator, cutoffMicros)
+      .map(t => ApplyOut(Some(t), None))
+    transfer.iterator ++ fresh
+  }
+
   /** Canonical per-row hash of the classified output — the replay invariant:
     * two table states are identical iff the (key → row_sha256) maps match.
     * `to_json(struct(...))` is deterministic given fixed column order.
@@ -145,40 +176,49 @@ final class CdcEngine(
   val transfers = new LakeTable(s"$warehouse/transfers", numBuckets,
     keyColumns = Seq("repo"))
 
-  /** Apply one epoch of change events. Returns the transfers-table manifest. */
+  /** Apply one epoch of change events. Returns the transfers-table manifest.
+    *
+    * ONE shuffle per epoch: prior state of the touched buckets is unioned
+    * with the raw batch and folded in a single `groupByKey(repo)` pass that
+    * emits both the classified transfers AND the fresh state events
+    * (CdcPipeline.applyGroup). Bucket-mate repos untouched by the batch are
+    * re-classified to identical rows — free, since the copy-on-write MERGE
+    * rewrites their bucket anyway. Profiled against the two-shuffle design
+    * (separate dedup pass + anti-join appends): ~2× fewer stages per epoch.
+    */
   def applyEpoch(spark: SparkSession, newEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
     import spark.implicits._
 
-    // in-batch dedup by (repo, commit) keeping min offset — one row per key
-    // before the MERGE so upsert version logic is deterministic
-    val deduped = newEvents
-      .groupByKey(e => (e.repo, e.commit))
-      .reduceGroups((a, b) => if (a.offset <= b.offset) a else b)
-      .map(_._2)
+    // narrow pre-pass: batch stats + touched buckets (partial-agg only;
+    // state and transfers hash the same repo column → shared touched set)
+    val stats = newEvents.toDF()
+      .agg(
+        count(lit(1)), coalesce(min("offset"), lit(0L)), coalesce(max("offset"), lit(0L)),
+        collect_set(state.bucketCol))
+      .collect()(0)
+    val batchRows = stats.getLong(0)
+    val touched = stats.getSeq[Int](3).toSet
 
-    val dedupedDf = deduped.toDF().cache()
+    val priorState = state.snapshot(spark, buckets = Some(touched))
+    val eventCols = spark.emptyDataset[ChangeEvent].columns
+    val priorEvents =
+      if (priorState.columns.isEmpty) spark.emptyDataset[ChangeEvent]
+      else priorState.select(eventCols.map(col): _*).as[ChangeEvent]
+
+    // locals only in the closure — capturing the fields would serialize the
+    // whole (non-serializable) engine
+    val cutoff = cutoffMicros
+    val out = priorEvents.union(newEvents)
+      .groupByKey(_.repo)
+      .flatMapGroups { (repo, it) =>
+        CdcPipeline.applyGroup(repo, it, cutoff, epoch)
+      }
+      .cache()
     try {
-      // one pass: batch stats + touched buckets (state and transfers hash the
-      // same repo column, so the touched set is shared by both merges)
-      val stats = dedupedDf
-        .agg(
-          count(lit(1)), coalesce(min("offset"), lit(0L)), coalesce(max("offset"), lit(0L)),
-          collect_set(state.bucketCol))
-        .collect()(0)
-      val batchRows = stats.getLong(0)
-      val touched = stats.getSeq[Int](3).toSet
-
-      // prior events of the affected repos only (bucket-pruned + key semi-join)
-      val priorState = state.snapshot(spark, buckets = Some(touched))
-      val affectedRepos = dedupedDf.select("repo").distinct()
-      val priorEvents =
-        if (priorState.columns.isEmpty) spark.emptyDataset[ChangeEvent].toDF()
-        else priorState.join(affectedRepos, Seq("repo"), "left_semi")
-          .select(dedupedDf.columns.map(col): _*)
-
-      val allEvents = priorEvents.unionByName(dedupedDf).as[ChangeEvent]
-      val classified = CdcPipeline.classify(allEvents, cutoffMicros)
-      val upserts = CdcPipeline.withRowSha(classified.toDF())
+      val upserts = CdcPipeline.withRowSha(
+        out.filter(_.transfer.isDefined).map(_.transfer.get).toDF())
+      val freshEvents = out.filter(_.event.isDefined).map(_.event.get).toDF()
+        .withColumn("content_sha256", sha2(col("content"), 256))
 
       val lineage = Map(
         "epoch" -> epoch,
@@ -192,16 +232,14 @@ final class CdcEngine(
       )
 
       // state first, then transfers: a crash in between re-runs the epoch —
-      // state merge is already committed ⇒ skipped; transfers recomputed
-      // identically from identical state (determinism = exactly-once)
-      // state is insert-ignore → append-only commit (anti-join drops known
-      // event ids; no bucket rewrite — write cost is O(batch))
-      state.appendNew(
-        dedupedDf.withColumn("content_sha256", sha2(col("content"), 256)),
-        epoch, metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
+      // state commit is already present ⇒ skipped; transfers recomputed
+      // identically from identical state (determinism = exactly-once).
+      // assumeNew: the fold already guarantees first-seen-only events.
+      state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
+        touchedBuckets = Some(touched), assumeNew = true)
       transfers.merge(upserts, epoch,
         metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
-    } finally dedupedDf.unpersist()
+    } finally out.unpersist()
   }
 
   /** Replay the full change log from scratch into a fresh warehouse dir and

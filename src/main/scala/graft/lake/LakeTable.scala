@@ -229,7 +229,12 @@ final class LakeTable(
   def appendNew(upserts: DataFrame, epoch: Long,
                 metadata: Map[String, String] = Map.empty,
                 lineage: Map[String, Long] = Map.empty,
-                touchedBuckets: Option[Set[Int]] = None): Manifest = {
+                touchedBuckets: Option[Set[Int]] = None,
+                /** true ⇒ caller guarantees no key already exists (e.g. the
+                  * epoch fold only emits first-seen events) — skips the
+                  * prior-keys anti-join read entirely.
+                  */
+                assumeNew: Boolean = false): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return manifestAt(epoch).get
 
@@ -244,6 +249,7 @@ final class LakeTable(
       withBucket.select("__bucket").distinct().collect().map(_.getInt(0)).toSet)
 
     val priorKeys = parent match {
+      case _ if assumeNew => None
       case Some(p) =>
         val live = p.files.filter(f => touched.contains(f.bucket))
         if (live.isEmpty) None
