@@ -25,11 +25,13 @@ object ScalingBench {
       val n = log.count()
       val classifySec = Bench.timed(CdcPipeline.classify(log, 14 * day).write
         .mode("overwrite").format("noop").save())
-      val wh = java.nio.file.Files.createTempDirectory(s"scale-$cpus").toString
-      val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
-      val applySec = Bench.timed(
-        (0L until cfg.epochs.toLong).foreach(e =>
-          eng.applyEpoch(spark, log.filter(_.epoch == e), e)))
+      val applySec = if (sys.env.get("SPARK_GRAFT_APPLY").contains("0")) -1.0 else {
+        val wh = java.nio.file.Files.createTempDirectory(s"scale-$cpus").toString
+        val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
+        Bench.timed(
+          (0L until cfg.epochs.toLong).foreach(e =>
+            eng.applyEpoch(spark, log.filter(_.epoch == e), e)))
+      }
       log.unpersist()
       spark.stop()
       (n, classifySec, applySec)
