@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.{CdcEngine, ChangeLogGen, CdcPipeline, GenConfig}
+import graft.cdc.{CdcEngine, ChangeLogGen, CdcPipeline, GenConfig, MessageParser}
 
 /** Two-cluster-size scaling evidence (BASELINE.md): the same CDC job on the
   * same deterministic input at local[N] and local[4N] (sandbox stand-in for
@@ -16,10 +16,40 @@ object ScalingBench {
     val cfg = GenConfig(numConversations = conversations,
       hotConversations = 4, hotFragments = 4096, epochs = epochs)
 
+    val fused = sys.env.get("SPARK_GRAFT_FUSED").contains("1")
+
     def run(cpus: Int): (Long, Double, Double) = {
       val spark = Bench.session(cpus.toString)
       spark.sparkContext.setLogLevel("WARN")
+      // over-partition the shuffle for tail balance; AQE coalesces small ones
+      spark.conf.set("spark.sql.shuffle.partitions", (cpus * 4).toString)
       import spark.implicits._
+      if (sys.env.get("SPARK_GRAFT_MODE").contains("narrow")) {
+        // no-shuffle pipeline: generate → parse → reduce. isolates allocation/
+        // GC scaling from shuffle-machinery scaling
+        import org.apache.spark.sql.functions._
+        val warm = ChangeLogGen.generate(spark, cfg.copy(numConversations = 1000))
+        warm.map(e => MessageParser.parse(e.content).timeMicros).agg(max("value")).collect()
+        val n = ChangeLogGen.generate(spark, cfg).count()
+        val sec = Bench.timed(
+          ChangeLogGen.generate(spark, cfg)
+            .map(e => MessageParser.parse(e.content).timeMicros)
+            .agg(max("value")).collect())
+        spark.stop()
+        return (n, sec, -1.0)
+      }
+      if (fused) {
+        // compute-bound end-to-end measurement: generate → shuffle → fold in
+        // one uncached pass (no cache-pressure artifacts at large inputs)
+        val warm = ChangeLogGen.generate(spark, cfg.copy(numConversations = 1000))
+        CdcPipeline.classify(warm, 14 * day).write.mode("overwrite").format("noop").save()
+        val n = ChangeLogGen.generate(spark, cfg).count()
+        val sec = Bench.timed(
+          CdcPipeline.classify(ChangeLogGen.generate(spark, cfg), 14 * day)
+            .write.mode("overwrite").format("noop").save())
+        spark.stop()
+        return (n, sec, -1.0)
+      }
       val log = ChangeLogGen.generate(spark, cfg)
         .repartition(cpus * 2).cache()
       val n = log.count()

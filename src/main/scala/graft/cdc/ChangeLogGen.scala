@@ -174,10 +174,13 @@ object ChangeLogGen {
     }
   }
 
-  /** The distributed generator — deterministic at any parallelism. */
+  /** The distributed generator — deterministic at any parallelism. Slices
+    * 4× the core count so hot conversations don't straggle a whole task.
+    */
   def generate(spark: SparkSession, cfg: GenConfig): Dataset[ChangeEvent] = {
     import spark.implicits._
-    spark.range(0L, cfg.numConversations)
+    val slices = math.max(1, spark.sparkContext.defaultParallelism * 4)
+    spark.range(0L, cfg.numConversations, 1L, slices)
       .flatMap(conv => eventsOf(cfg, conv))
   }
 }
