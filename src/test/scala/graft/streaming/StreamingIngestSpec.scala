@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming tail → lake commits: micro-batches land as epoch manifests and
+  * the final table equals one-shot batch classification.
+  */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 24L * 3600 * 1000000L
+
+  test("foreachBatch ingest commits per-batch manifests; final state == batch classify") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = GenConfig(numConversations = 80, hotConversations = 1,
+      hotFragments = 16, redeliveryPermille = 50, epochs = 3)
+    val all = (0L until 80L).flatMap(ChangeLogGen.eventsOf(cfg, _))
+
+    val engine = new CdcEngine(tmpDir("stream-lake"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    val source = MemoryStream[ChangeEvent]
+    val query = StreamingIngest.start(engine, source.toDS(), tmpDir("ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      (0 to 2).foreach { e =>
+        source.addData(all.filter(_.epoch == e))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val m = engine.transfers.latestManifest().get
+    assert(m.epoch == 2, s"expected 3 batch commits, last manifest ${m.epoch}")
+
+    val streamed = engine.currentTransfers(spark)
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    val batch = CdcPipeline.withRowSha(
+        CdcPipeline.classify(all.toDS(), 14 * day).toDF())
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    assert(streamed == batch)
+  }
+}
