@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the operators the driver can only rows-only-check:
+  * planted near-duplicates must be found (and unrelated docs must not),
+  * IVF must agree with brute force on easy queries, multimodal features
+  * must be the deterministic function of the bytes.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("delta", "changed")),          // ~85% shingle overlap
+      (2L, base),                                      // exact duplicate of 0
+      (3L, (1 to 20).map(i => s"word$i").mkString(" ")), // unrelated
+      (4L, (1 to 20).map(i => s"token$i").mkString(" ")), // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minhashNearDups(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 4, jaccardThreshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), s"exact dup must be found: $pairs")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)),
+      s"near dup must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"unrelated docs must not pair: $pairs")
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val h = Seq(base, base.replace("delta", "changed"),
+        (1 to 20).map(i => s"word$i").mkString(" "))
+      .toDF("t").select(graft.functions.SimHash64Expr.simhash64($"t"))
+      .as[Long].collect()
+    val near = java.lang.Long.bitCount(h(0) ^ h(1))
+    val far = java.lang.Long.bitCount(h(0) ^ h(2))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("IVF top-k equals brute force when the query's cell holds its neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = VectorOps.assignCells(emb, "vec_id", "embedding", numCells = 4)
+    val queries = cells.filter($"vec_id" < 2)
+    val ivf = VectorOps.ivfTopK(cells, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(emb, emb.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 50)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    // every IVF hit must be a genuine high-rank brute-force neighbor from
+    // the same cell — recall is partial (nprobe=1), precision must be exact
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, _) =>
+      assert(bruteMap.contains((q, n)), s"IVF produced non-neighbor ($q,$n)")
+    }
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+    ).toDF("a", "b")
+    val sims = df.select(VectorOps.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-9)
+    assert(math.abs(sims(1)) < 1e-9)
+  }
+
+  test("multimodal features are the deterministic function of the bytes") {
+    val docs = Seq((1L, "abcd" * 600)).toDF("doc_id", "text") // 2400 bytes
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val row = MultimodalOps.extractFeatures(docs, "doc_id", "payload").collect().head
+    assert(row.getAs[Long]("n_bytes") == 2400L)
+    assert(row.getAs[Long]("n_frames") == 3L) // ceil(2400/1024)
+    val expectedMean = ("abcd".map(_.toInt).sum * 600L) / 2400L
+    assert(row.getAs[Long]("mean_byte") == expectedMean)
+    val feat = row.getSeq[Float](row.fieldIndex("feature"))
+    assert(feat.length == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5, "histogram must sum to 1")
+  }
+
+  test("language marker hits drive the guess; no hits → und") {
+    val rows = Seq(
+      "the cat and the dog in a house",   // en markers
+      "der hund und die katze ist nicht", // de markers
+      "xyzzy plugh qwerty",               // nothing
+    ).toDF("t").select(TextOps.langGuess($"t")).as[String].collect()
+    assert(rows(0) == "en")
+    assert(rows(1) == "de")
+    assert(rows(2) == "und")
+  }
+}
