@@ -116,6 +116,30 @@ class CdcEngineSpec extends SparkSpec {
     assert(snap2 == Set(("a", 1L), ("b", 2L)))
   }
 
+  test("schema evolution mid-chain: wide commit, chain continues, old rows null-filled") {
+    val dir = tmpDir("evo-chain")
+    val eng = buildIncremental(dir, Seq(0L, 1L))
+    // engine v2 adds a nullable column to the transfers schema mid-stream
+    val wide = CdcPipeline.withRowSha(
+        CdcPipeline.classify(log.filter(_.epoch == 2L), 14 * day).toDF())
+      .withColumn("pipeline_version", lit("v2"))
+    eng.transfers.merge(wide, epoch = 2L)
+    // the engine (old schema) keeps applying after the widening commit
+    eng.applyEpoch(spark, log.filter(_.epoch == 3L), 3L)
+
+    val snap = eng.currentTransfers(spark)
+    assert(snap.columns.contains("pipeline_version"))
+    val m = eng.transfers.latestManifest().get
+    assert(m.epoch == 3L && m.schemaId == 2)
+    // rows written by the wide commit that epoch 3 didn't replace keep v2;
+    // rows from narrow commits read as null through the merged schema
+    val versions = snap.select("pipeline_version").distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(versions.contains(None))
+    // row count equals full classification (no rows lost across evolution)
+    assert(snap.count() == CdcPipeline.classify(log, 14 * day).count())
+  }
+
   test("state table keeps first-seen offset for redelivered commits (insert-ignore)") {
     val dir = tmpDir("firstwins")
     val eng = new CdcEngine(dir, numBuckets = 4, cutoffMicros = 0L)
