@@ -132,32 +132,57 @@ object MessageParser {
   private def opt(raw: String): Option[String] =
     if (raw == null || raw.isEmpty) None else Some(raw)
 
+  /** Intern the four interaction-id constants: saves one string allocation
+    * per event and enables reference-equality downstream.
+    */
+  private def internInteraction(s: String): String = {
+    import graft.classifier.Interactions._
+    if (s == EhrRequestStarted) EhrRequestStarted
+    else if (s == ApplicationAck) ApplicationAck
+    else if (s == EhrRequestCompleted) EhrRequestCompleted
+    else if (s == CommonPointToPoint) CommonPointToPoint
+    else s
+  }
+
   /** Parse one content line. Fail-fast like the reference: a malformed row
-    * aborts the job rather than being silently skipped.
+    * aborts the job rather than being silently skipped. Hot path: manual
+    * comma scan (no split array), interned interaction ids.
     */
   def parse(content: String): SpineMessage = {
-    val f = content.split(",", -1)
-    if (f.length != 10)
-      throw new MalformedChangeEventError(
-        s"expected 10 CSV fields, got ${f.length}: $content")
+    // locate the 9 separators in one scan
+    val sep = new Array[Int](9)
+    var found = 0
+    var i = 0
+    val n = content.length
+    while (i < n && found < 9) {
+      if (content.charAt(i) == ',') { sep(found) = i; found += 1 }
+      i += 1
+    }
+    if (found != 9 || content.indexOf(',', sep(8) + 1) >= 0)
+      throw new MalformedChangeEventError(s"expected 10 CSV fields: $content")
+    def field(k: Int): String = {
+      val start = if (k == 0) 0 else sep(k - 1) + 1
+      val end = if (k == 9) n else sep(k)
+      content.substring(start, end)
+    }
     try
       SpineMessage(
-        timeMicros = parseTimeMicros(f(0)),
-        conversationId = f(1),
-        guid = f(2),
-        interactionId = f(3),
-        fromPartyAsid = f(4),
-        toPartyAsid = f(5),
-        messageRef = parseMessageRef(f(6)),
-        errorCode = parseErrorCode(f(7)),
-        toSystem = opt(f(8)),
-        fromSystem = opt(f(9)),
+        timeMicros = parseTimeMicros(field(0)),
+        conversationId = field(1),
+        guid = field(2),
+        interactionId = internInteraction(field(3)),
+        fromPartyAsid = field(4),
+        toPartyAsid = field(5),
+        messageRef = parseMessageRef(field(6)),
+        errorCode = parseErrorCode(field(7)),
+        toSystem = opt(field(8)),
+        fromSystem = opt(field(9)),
       )
     catch {
       case e: MalformedChangeEventError => throw e
       case e: Exception =>
         throw new MalformedChangeEventError(
-          s"failed to construct message from change event with GUID ${f(2)} and time ${f(0)}", e)
+          s"failed to construct message from change event with GUID ${field(2)} and time ${field(0)}", e)
     }
   }
 
