@@ -142,14 +142,17 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("user_id").asc).limit(5)),
 
-    // ---- A5: list-collect keeping interior nulls (the collect_list trap) ----
+    // ---- A5: list-collect keeping interior nulls (the collect_list trap).
+    // The list is serialized to canonical JSON so the driver harness can
+    // sort/hash rows (pandas can't hash array cells); null elements survive
+    // in the JSON on both engines. ----
     "q13_codes_collect" -> ((s, d) =>
       t(s, d, "events").filter(col("event_type").isin("purchase", "error"))
         .select(col("user_id"), col("ts"), col("event_id"), errCode.as("code"))
         .groupBy("user_id")
-        .agg(transform(
+        .agg(to_json(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("code")))),
-          x => x.getField("code")).as("codes"))),
+          x => x.getField("code"))).as("codes"))),
 
     // ---- dedup: exact (hash fingerprint group) ----
     "d01_dedup_exact" -> ((s, d) =>
@@ -176,24 +179,30 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp_md5"),
         sha2(col("text"), 256).as("fp_sha256"))),
 
-    // ---- near-dup: MinHash + LSH + verified n-gram Jaccard (engine hash) ----
+    // ---- near-dup: MinHash + LSH + verified n-gram Jaccard. Verified
+    // candidates make this EXACTLY oracle-able against brute-force DuckDB
+    // shingle Jaccard as long as LSH recall is total on the fixture (it is:
+    // bands=8/r=4 → miss prob < 1e-3 even at j=0.9; all fixture pairs are
+    // j ≥ 0.9 and empirically all are found). jaccard_x1000 is integer DIV
+    // on exact shingle counts — no float-vs-// divergence. ----
     "d05_minhash_dups" -> ((s, d) =>
-      // r=8 rows/band: candidate probability j^8 per band — same-vocabulary
-      // corpora don't flood the pair space (j=0.5 → ~1.5% candidates)
       TextOps.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 4, jaccardThreshold = 0.5)
-        .select(col("a"), col("b"), floor(col("jaccard") * 1000).cast("long").as("jaccard_x1000"))),
+        k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+        .select(col("a"), col("b"),
+          expr("CAST(inter AS BIGINT) * 1000 div uni").as("jaccard_x1000"))),
 
     // ---- near-dup: SimHash via the native Catalyst expression ----
     "d06_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         graft.functions.SimHash64Expr.simhash64(col("text")).as("simhash"))),
 
-    // ---- similarity: brute-force cosine top-k (baseline ANN) ----
+    // ---- similarity: brute-force cosine top-k (baseline ANN). Oracle-able:
+    // adjacent top-6 similarity gaps on the fixture are ≥ 2e-4, far above
+    // cross-engine float noise, so (query, neighbor, rank) is stable. ----
     "e01_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
     // ---- similarity: IVF-bucketed top-k (scale path) ----
@@ -204,10 +213,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // ---- embedding near-dup pairs (sign-sketch buckets) ----
-    "e03_cos_dups" -> ((s, d) =>
-      VectorOps.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.95).select(col("a"), col("b"))),
+    // ---- embedding near-dup pairs (banded sign-sketch LSH + exact verify).
+    // The fixture has no natural ≥0.95 pairs (max pairwise cosine 0.51), so
+    // the corpus is augmented with deterministic planted near-duplicates
+    // derived from the fixture itself (vec_id+100000, first coordinate
+    // nudged by 0.05 → cosine ≈ 0.999 to the original, still ≤ 0.52 to
+    // everything else) — the operator demonstrably emits pairs and the
+    // result is brute-force oracle-able. ----
+    "e03_cos_dups" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      VectorOps.cosineNearDups(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95).select(col("a"), col("b"))
+    }),
 
     // ---- multimodal plumbing: binary payload batch decode (stub) ----
     "m01_mm_features" -> ((s, d) =>
@@ -317,7 +338,7 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n FROM events WHERE event_type='purchase'
          GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5""",
     "q13_codes_collect" ->
-      s"""SELECT user_id, list($errCodeSql ORDER BY ts, event_id) AS codes
+      s"""SELECT user_id, CAST(to_json(list($errCodeSql ORDER BY ts, event_id)) AS VARCHAR) AS codes
          FROM events WHERE event_type IN ('purchase','error') GROUP BY user_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -352,6 +373,42 @@ object SparkEntry {
          ) GROUP BY lang, guess""",
     "d04_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256 FROM documents""",
+    // brute-force 3-shingle Jaccard ≥ 0.5 over all pairs; integer thousandths
+    "d05_minhash_dups" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           WHERE len(ws) >= 3
+         )
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000
+                  // len(list_distinct(list_concat(a.s, b.s))) AS jaccard_x1000
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))""",
+    "e01_ann_brute" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 3
+         ) WHERE rank <= 5""",
+    // brute-force cosine ≥ 0.95 over fixture ∪ planted near-duplicates
+    // (DuckDB list lambdas index from 1; Spark's transform from 0)
+    "e03_cos_dups" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id,
+                  list_transform(embedding,
+                    (x, i) -> CASE WHEN i = 1 THEN x + CAST(0.05 AS FLOAT) ELSE x END) AS embedding
+           FROM embeddings WHERE vec_id < 30
+         )
+         SELECT a.vec_id AS a, b.vec_id AS b
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
     "m01_mm_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames

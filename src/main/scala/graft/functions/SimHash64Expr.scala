@@ -93,14 +93,17 @@ object SimHash64Expr {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SimHash64Expr.registration)
+    ext.injectFunction(CosineSketchExpr.registration)
+  }
 }
 
 /** Direct registry hook for an already-built session (tests, Bench). */
 object GraftFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = SimHash64Expr.registration
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(SimHash64Expr.registration, CosineSketchExpr.registration).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

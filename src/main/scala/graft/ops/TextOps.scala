@@ -170,7 +170,11 @@ object TextOps {
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))))
       .filter(col("uni") > 0 && col("inter") >= col("uni") * jaccardThreshold)
-      .select(col("a"), col("b"),
+      // inter/uni kept in the output: exact integer shingle counts let
+      // callers derive engine-portable fixed-point jaccard (integer DIV —
+      // float division then floor can disagree with SQL `//` by 1 ulp)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 

@@ -85,28 +85,35 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * LSH-bucketed by random-hyperplane sign bits (deterministic planes from
-    * coordinate triples) so the self-join is bucket-local instead of N².
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold via
+    * banded random-hyperplane LSH (the native `CosineSketchExpr`, codegen'd):
+    * a pair is a candidate iff it agrees on every sign bit of some band —
+    * the same AND-within-band / OR-over-bands amplification as the MinHash
+    * path, so bucket cardinality is 2^bitsPerBand per band (not a fixed 256)
+    * and grows with the corpus by raising bitsPerBand.
+    *
+    * Shuffle discipline (100 TB shape): the band self-join and the pair
+    * dedup carry only (id, band, bandHash) / (a, b) — vectors are attached
+    * AFTER the candidate pair space is deduped, and the exact cosine verify
+    * runs only on candidates.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, signBits: Int = 8): DataFrame = {
-    // sign bit i = sign of (v[3i] + v[3i+1] - v[3i+2]) — a fixed, cheap
-    // pseudo-hyperplane; near-identical vectors share all bits
-    def sketch(v: Column): Column =
-      aggregate(
-        transform(sequence(lit(0), lit(signBits - 1)), i =>
-          when(element_at(v, i * 3 + 1) + element_at(v, i * 3 + 2)
-            - element_at(v, i * 3 + 3) > 0,
-            call_function("shiftleft", lit(1L), i.cast("int")))
-            .otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc.bitwiseOR(b))
+                     threshold: Double, bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
     val s = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", sketch(col("v")))
-    val l = s.alias("l"); val r = s.alias("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("sim", cosine(col("l.v"), col("r.v")))
+    val banded = s.select(col("id"),
+      posexplode(graft.functions.CosineSketchExpr.sketch(col("v"), bands, bitsPerBand)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bhash"))
+    val candidates = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    candidates
+      .join(s.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(s.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("sim"))
+      .select(col("a"), col("b"), col("sim"))
   }
 }

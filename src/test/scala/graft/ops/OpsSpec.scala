@@ -60,6 +60,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDups finds planted near-identical vectors and skips the rest") {
+    // 40 quasi-random base vectors (deterministic LCG), plus near-duplicates
+    // of the first 5 (one coordinate nudged) — pairs (i, 1000+i) must be
+    // found, and nothing else: random 16-dim vectors are far from cosine 0.95
+    def vec(seed: Long): Seq[Float] = {
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      (0 until 16).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33).toFloat / (1L << 31).toFloat) - 0.5f
+      }
+    }
+    val bases = (0L until 40L).map(i => (i, vec(i)))
+    val planted = (0L until 5L).map(i => (1000L + i, vec(i).updated(0, vec(i)(0) + 0.02f)))
+    val corpus = (bases ++ planted).toDF("vec_id", "embedding")
+    val pairs = VectorOps.cosineNearDups(corpus, "vec_id", "embedding", threshold = 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, 1000L + i)).toSet, s"got $pairs")
+  }
+
+  test("cosine sketch: near-identical vectors share every band; codegen = interpreted") {
+    import graft.functions.CosineSketchExpr
+    val a = (0 until 32).map(i => math.sin(i * 1.7).toFloat)
+    val b = a.updated(3, a(3) + 0.01f)
+    val c = (0 until 32).map(i => math.cos(i * 2.3).toFloat)
+    val df = Seq(Tuple1(a), Tuple1(b), Tuple1(c)).toDF("v")
+    val rows = df.select(CosineSketchExpr.sketch($"v", 8, 16)).as[Seq[Long]].collect()
+    assert(rows(0) == rows(1), "near-identical vectors must share all bands")
+    assert(rows(0) != rows(2), "unrelated vectors must differ somewhere")
+    // interpreted eval (nullSafeEval) agrees with the codegen'd path
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = df.selectExpr("graft_cosine_sketch(v, 8, 16)").as[Seq[Long]].collect()
+    assert(viaSql.toSeq == rows.toSeq)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
