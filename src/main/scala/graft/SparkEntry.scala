@@ -255,6 +255,56 @@ object SparkEntry {
           "sending_practice_ods_code", "sending_practice_name")
     }),
 
+    // ---- S4/S5/A8/A9: the MI branch end-to-end — JSON events built from
+    // the events table (to_json → from_json exercises the schema-on-read
+    // path), ordered group-by + fold to MiTransfer. 'click' rows carry a
+    // BST-suffixed datetime so the tz map is under the oracle too: the
+    // oracle recomputes everything relationally from the same rows. ----
+    "mi01_mi_transfers" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val et = when(col("event_type") === "purchase", "EHR_REQUESTED")
+        .when(col("event_type") === "error", "EHR_VALIDATED")
+        .when(col("event_type") === "signup", "REGISTRATION_STARTED")
+        .when(col("event_type") === "click", "EHR_SENT")
+        .otherwise("PDS_TRACE")
+      // BST wire format: local time = UTC+1; parseTz must recover the instant
+      val dtStr = when(col("event_type") === "click",
+          concat(date_format(col("ts") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"),
+            lit(" BST")))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      val raw = ev.select(to_json(struct(
+        concat(lit("conv-"), col("user_id")).as("conversationId"),
+        col("event_id").cast("string").as("eventId"),
+        et.as("eventType"),
+        dtStr.as("eventGeneratedDateTime"),
+        concat(lit("sys-"), pmod(col("event_id"), lit(5))).as("reportingSystemSupplier"),
+        dtStr.as("transferEventDateTime"),
+        row_number().over(w).cast("long").as("seq"),
+        when(col("event_type") === "signup", struct(struct(
+          concat(lit("ODS-R-"), col("event_id")).as("requestingPracticeOdsCode"),
+          concat(lit("ODS-S-"), col("event_id")).as("sendingPracticeOdsCode"))
+          .as("registration"))).as("payload"))).as("j"))
+      graft.mi.MiPipeline.toMiTransfers(graft.mi.MiPipeline.parseEvents(raw, "j"))
+        .select(col("conversation_id"),
+          size(col("events")).cast("long").as("n_events"),
+          array_join(transform(col("events"), x => x.getField("event_type")), "|")
+            .as("event_chain"),
+          col("requesting_supplier"), col("sending_supplier"),
+          col("requesting_ods_code"), col("sending_ods_code"),
+          col("slow_transfer"))
+    }),
+
+    // ---- A3/A6 golden: the classified-outcome distribution of the
+    // deterministic change log — the oracle pins the expected histogram
+    // (the Scala analogue of the reference's golden e2e outputs,
+    // tests/e2e/test_transfer_classifier.py:246-273). ----
+    "c03_outcome_dist" -> ((s, _) => {
+      val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
+      CdcPipeline.classify(ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF()
+        .groupBy("status", "failureReason").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- the CDC engine itself: deterministic log → classified table ----
     "c01_cdc_classify" -> ((s, _) => {
       val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
@@ -409,6 +459,51 @@ object SparkEntry {
          SELECT a.vec_id AS a, b.vec_id AS b
          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
+    // relational recomputation of the MI fold from the same events rows
+    // (the Spark side goes through to_json → from_json → ordered fold)
+    "mi01_mi_transfers" ->
+      """WITH m AS (
+           SELECT 'conv-' || user_id AS conversation_id,
+                  CASE event_type WHEN 'purchase' THEN 'EHR_REQUESTED'
+                       WHEN 'error' THEN 'EHR_VALIDATED'
+                       WHEN 'signup' THEN 'REGISTRATION_STARTED'
+                       WHEN 'click' THEN 'EHR_SENT'
+                       ELSE 'PDS_TRACE' END AS et,
+                  'sys-' || (event_id % 5) AS supplier,
+                  CASE WHEN event_type = 'signup' THEN 'ODS-R-' || event_id END AS req_ods,
+                  CASE WHEN event_type = 'signup' THEN 'ODS-S-' || event_id END AS snd_ods,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+                  date_trunc('second', ts) AS tsec
+           FROM events
+         )
+         SELECT conversation_id,
+                count(*) AS n_events,
+                string_agg(et, '|' ORDER BY seq) AS event_chain,
+                max(CASE WHEN seq = 1 THEN supplier END) AS requesting_supplier,
+                max(CASE WHEN seq = 2 THEN supplier END) AS sending_supplier,
+                min_by(req_ods, seq) FILTER (WHERE req_ods IS NOT NULL) AS requesting_ods_code,
+                min_by(snd_ods, seq) FILTER (WHERE snd_ods IS NOT NULL) AS sending_ods_code,
+                CASE WHEN min(tsec) FILTER (WHERE et = 'EHR_REQUESTED') IS NULL
+                       OR min(tsec) FILTER (WHERE et = 'EHR_VALIDATED') IS NULL THEN NULL
+                     ELSE epoch(min(tsec) FILTER (WHERE et = 'EHR_VALIDATED'))
+                        - epoch(min(tsec) FILTER (WHERE et = 'EHR_REQUESTED')) > 86400
+                END AS slow_transfer
+         FROM m GROUP BY conversation_id""",
+    // golden histogram of the deterministic generator + classifier (the
+    // generator is seeded; this pins the classified-outcome distribution
+    // like the reference's golden daily outputs)
+    "c03_outcome_dist" ->
+      """SELECT status, "failureReason", CAST(n AS BIGINT) AS n FROM (VALUES
+           ('Integrated on time',   NULL,                                        177),
+           ('Process failure',      'Integrated late',                            26),
+           ('Process failure',      'Transferred, not integrated',                25),
+           ('Technical failure',    'Final error',                                38),
+           ('Technical failure',    'Request not acknowledged',                   15),
+           ('Technical failure',    'COPC(s) not sent',                            6),
+           ('Technical failure',    'Core extract not sent',                       2),
+           ('Technical failure',    'Contains fatal sender error',                 5),
+           ('Unclassified failure', 'Transferred, not integrated, with error',     6)
+         ) AS t(status, "failureReason", n)""",
     "m01_mm_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
