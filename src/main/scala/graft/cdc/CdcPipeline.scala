@@ -62,7 +62,12 @@ object CdcPipeline {
       byCommit.get(e.commit) match {
         case Some(prev) =>
           dupes += 1
-          if (e.offset < prev.offset) byCommit.update(e.commit, e)
+          // first-seen wins: min offset, then min epoch — the epoch tiebreak
+          // makes an exact-offset redelivery keep the already-durable copy
+          // regardless of iterator order
+          if (e.offset < prev.offset ||
+              (e.offset == prev.offset && e.epoch < prev.epoch))
+            byCommit.update(e.commit, e)
         case None => byCommit.update(e.commit, e)
       }
     }
@@ -123,8 +128,11 @@ object CdcPipeline {
     val byCommit = mutable.HashMap.empty[String, ChangeEvent]
     events.foreach { e =>
       byCommit.get(e.commit) match {
-        case Some(prev) => if (e.offset < prev.offset) byCommit.update(e.commit, e)
-        case None       => byCommit.update(e.commit, e)
+        case Some(prev) =>
+          if (e.offset < prev.offset ||
+              (e.offset == prev.offset && e.epoch < prev.epoch))
+            byCommit.update(e.commit, e)
+        case None => byCommit.update(e.commit, e)
       }
     }
     if (byCommit.isEmpty) return Iterator.empty
@@ -186,8 +194,18 @@ final class CdcEngine(
     * rewrites their bucket anyway. Profiled against the two-shuffle design
     * (separate dedup pass + anti-join appends): ~2× fewer stages per epoch.
     */
-  def applyEpoch(spark: SparkSession, newEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
+  def applyEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
     import spark.implicits._
+
+    // Re-stamp the batch with THIS epoch. Freshness (which events the fold
+    // persists to the durable state table) must mean "first applied in this
+    // epoch", not "stamped with this epoch by the source": a streaming
+    // foreachBatch delivers micro-batches whose boundaries don't align with
+    // the source's epoch stamps, and without re-stamping a misaligned
+    // batch's events would be classified but silently dropped from state —
+    // the next epoch touching the same session would re-classify from
+    // incomplete state and overwrite correct rows.
+    val newEvents = rawEvents.map(_.copy(epoch = epoch))
 
     // narrow pre-pass: batch stats + touched buckets (partial-agg only;
     // state and transfers hash the same repo column → shared touched set)

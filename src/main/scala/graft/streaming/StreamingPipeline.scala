@@ -40,8 +40,11 @@ object StreamingPipeline {
           prior.foreach(e => byCommit.update(e.commit, e))
           incoming.foreach { e =>
             byCommit.get(e.commit) match {
-              case Some(prev) => if (e.offset < prev.offset) byCommit.update(e.commit, e)
-              case None       => byCommit.update(e.commit, e)
+              case Some(prev) =>
+                if (e.offset < prev.offset ||
+                    (e.offset == prev.offset && e.epoch < prev.epoch))
+                  byCommit.update(e.commit, e)
+              case None => byCommit.update(e.commit, e)
             }
           }
           val merged = byCommit.values.toVector

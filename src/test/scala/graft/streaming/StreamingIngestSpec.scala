@@ -40,4 +40,35 @@ class StreamingIngestSpec extends SparkSpec {
       .select("repo", "row_sha256").as[(String, String)].collect().toMap
     assert(streamed == batch)
   }
+
+  test("misaligned micro-batches: a session split across applies stays durable") {
+    // All events carry source epoch 0, but arrive across three applies —
+    // exactly what a streaming foreachBatch produces when micro-batch
+    // boundaries don't follow the source's epoch stamps. Without re-stamping
+    // inside applyEpoch, the second half of the split session is classified
+    // but never persisted to state, and the epoch-2 redelivery re-classifies
+    // from incomplete state, overwriting the correct transfer row.
+    val cfg = GenConfig(numConversations = 6, hotConversations = 0,
+      hotFragments = 0, epochs = 1)
+    val all = (0L until 6L).flatMap(ChangeLogGen.eventsOf(cfg, _))
+    val targetRepo = all.head.repo
+    val target = all.filter(_.repo == targetRepo).sortBy(_.offset)
+    assert(target.size >= 4, "fixture session must have enough events to split")
+    val others = all.filterNot(_.repo == targetRepo)
+    val (h1, h2) = target.splitAt(target.size / 2)
+
+    val engine = new CdcEngine(tmpDir("misaligned"), numBuckets = 4,
+      cutoffMicros = 14 * day)
+    engine.applyEpoch(spark, (others ++ h1).toDS(), 0L)
+    engine.applyEpoch(spark, h2.toDS(), 1L) // same source stamp, later batch
+    engine.applyEpoch(spark, h1.take(1).toDS(), 2L) // pure redelivery re-touch
+
+    val streamed = engine.currentTransfers(spark)
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    val batch = CdcPipeline.withRowSha(
+        CdcPipeline.classify(all.toDS(), 14 * day).toDF())
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    assert(streamed == batch,
+      "split-session transfer must match the one-shot batch oracle")
+  }
 }
