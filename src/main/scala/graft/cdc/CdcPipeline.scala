@@ -165,12 +165,14 @@ object CdcPipeline {
   *  - `state`:     the deduped event buffer per session key (merge identity
   *                 (repo, commit), bucketed by repo, insert-ignore so the
   *                 first-seen offset of a redelivered event is durable);
-  *  - `transfers`: the classified output (merge identity repo, upsert).
+  *  - `transfers`: the classified output (merge identity repo, upsert via
+  *                 merge-on-read deltas with bounded compaction).
   *
-  * An epoch apply touches only the buckets its batch's repos hash into:
-  * state read + both MERGEs are pruned by bucket, so commit cost scales with
-  * the batch, not the table — the property that keeps this viable at 10^10
-  * events. Exactly-once: both MERGEs are keyed by the epoch number; a re-run
+  * An epoch apply touches only the buckets its batch's repos hash into and
+  * re-folds only the batch's own sessions (semi-join), and both commits
+  * write O(batch) data, so per-epoch cost scales with the batch, not the
+  * table — the property that keeps this viable at 10^10 events.
+  * Exactly-once: both commits are keyed by the epoch number; a re-run
   * of an already-committed epoch is a no-op, and replay from any checkpoint
   * reproduces identical table state (verified via row_sha256 equality).
   */
@@ -178,21 +180,29 @@ final class CdcEngine(
     val warehouse: String,
     val numBuckets: Int,
     val cutoffMicros: Long,
+    /** false = legacy copy-on-write transfers commits (kept for A/B
+      * benchmarking of the write-amplification fix; see IncrementalBench).
+      */
+    val morTransfers: Boolean = true,
 ) {
   val state = new LakeTable(s"$warehouse/state", numBuckets,
     keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"))
+  // merge-on-read: per-epoch deltas + read-time last-writer-wins + bounded
+  // compaction — a hot bucket touched every epoch costs O(its upserts), not
+  // O(the whole bucket rewritten) (the COW write-amplification fix)
   val transfers = new LakeTable(s"$warehouse/transfers", numBuckets,
-    keyColumns = Seq("repo"))
+    keyColumns = Seq("repo"), mergeOnRead = morTransfers)
 
   /** Apply one epoch of change events. Returns the transfers-table manifest.
     *
-    * ONE shuffle per epoch: prior state of the touched buckets is unioned
-    * with the raw batch and folded in a single `groupByKey(repo)` pass that
-    * emits both the classified transfers AND the fresh state events
-    * (CdcPipeline.applyGroup). Bucket-mate repos untouched by the batch are
-    * re-classified to identical rows — free, since the copy-on-write MERGE
-    * rewrites their bucket anyway. Profiled against the two-shuffle design
-    * (separate dedup pass + anti-join appends): ~2× fewer stages per epoch.
+    * Per-epoch cost is O(batch + batch sessions' history): prior state is
+    * bucket-pruned, then SEMI-JOINED to the batch's repos, so only sessions
+    * the batch actually touches flow through the single `groupByKey(repo)`
+    * fold, which emits both the classified transfers AND the fresh state
+    * events (CdcPipeline.applyGroup). Both sinks are O(batch) writes —
+    * appendNew for state, mergeDelta (merge-on-read) for transfers — so
+    * bucket-mate sessions untouched by the batch are neither re-read,
+    * re-classified, nor re-written.
     */
   def applyEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
     import spark.implicits._
@@ -205,7 +215,9 @@ final class CdcEngine(
     // batch's events would be classified but silently dropped from state —
     // the next epoch touching the same session would re-classify from
     // incomplete state and overwrite correct rows.
-    val newEvents = rawEvents.map(_.copy(epoch = epoch))
+    // (withColumn, not .map(_.copy(...)): the narrow projection stays in
+    // Tungsten; the typed map would deserialize the whole batch per action.)
+    val newEvents = rawEvents.withColumn("epoch", lit(epoch)).as[ChangeEvent]
 
     // narrow pre-pass: batch stats + touched buckets (partial-agg only;
     // state and transfers hash the same repo column → shared touched set)
@@ -219,9 +231,26 @@ final class CdcEngine(
 
     val priorState = state.snapshot(spark, buckets = Some(touched))
     val eventCols = spark.emptyDataset[ChangeEvent].columns
+    // Semi-join gate: manifest row counts (free — no Spark job) tell how
+    // much prior state the touched buckets hold. When prior dwarfs the batch
+    // (steady incremental state at scale), a semi-join on the batch's repos
+    // bounds the fold to O(batch sessions' history) — only sessions present
+    // in this batch re-classify; AQE broadcasts the distinct batch keys when
+    // small. When prior ≈ batch (bulk loads, backfills), the extra distinct
+    // + join shuffles cost more than they save — fold everything.
+    val priorTouchedRows = state.latestManifest()
+      .map(_.files.filter(f => touched.contains(f.bucket)).map(_.rows).sum)
+      .getOrElse(0L)
+    val semiJoinWins = priorTouchedRows > 4L * math.max(batchRows, 1L)
     val priorEvents =
       if (priorState.columns.isEmpty) spark.emptyDataset[ChangeEvent]
-      else priorState.select(eventCols.map(col): _*).as[ChangeEvent]
+      else {
+        val pruned =
+          if (semiJoinWins)
+            priorState.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
+          else priorState
+        pruned.select(eventCols.map(col): _*).as[ChangeEvent]
+      }
 
     // locals only in the closure — capturing the fields would serialize the
     // whole (non-serializable) engine
@@ -258,8 +287,12 @@ final class CdcEngine(
       // assumeNew: the fold already guarantees first-seen-only events.
       state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
         touchedBuckets = Some(touched), assumeNew = true)
-      transfers.merge(upserts, epoch,
-        metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
+      if (morTransfers)
+        transfers.mergeDelta(upserts, epoch,
+          metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
+      else
+        transfers.merge(upserts, epoch,
+          metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
     } finally out.unpersist()
   }
 

@@ -5,7 +5,7 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
@@ -65,6 +65,19 @@ final class LakeTable(
       * buckets on repo so an epoch apply prunes to the touched repos' buckets.
       */
     val bucketColumns: Seq[String] = Seq.empty,
+    /** Merge-on-read: `mergeDelta` commits write ONLY the upsert rows (a
+      * per-epoch delta file per touched bucket) instead of copy-on-writing
+      * the whole bucket; `snapshot` resolves last-writer-wins per key by the
+      * per-row `__epoch` stamp, restricted to buckets that actually hold
+      * more than one live file. Kills the COW write amplification: commit
+      * cost is O(upserts), read cost is bounded by `compactThreshold`
+      * (over-threshold buckets are compacted back to one file inside the
+      * committing job). COW `merge` commits may interleave freely — they
+      * physically resolve the buckets they rewrite.
+      */
+    val mergeOnRead: Boolean = false,
+    /** Max live files per bucket before mergeDelta compacts that bucket. */
+    val compactThreshold: Int = 8,
 ) {
   private val bucketCols: Seq[String] = if (bucketColumns.nonEmpty) bucketColumns else keyColumns
   private val mapper = new ObjectMapper()
@@ -111,7 +124,11 @@ final class LakeTable(
   private def saltCol: Column =
     pmod(xxhash64((keyColumns.map(col) :+ lit("salt")): _*), lit(saltFactor)).cast("int")
 
-  /** Current snapshot as a DataFrame (bucket-pruned when `buckets` given). */
+  /** Current snapshot as a DataFrame (bucket-pruned when `buckets` given).
+    * Merge-on-read tables resolve last-writer-wins per key, but ONLY over
+    * buckets holding >1 live file — freshly-compacted / single-commit
+    * buckets read straight through with no window shuffle.
+    */
   def snapshot(spark: SparkSession, asOf: Long = Long.MaxValue,
                buckets: Option[Set[Int]] = None): DataFrame = {
     manifestAsOf(asOf) match {
@@ -121,9 +138,34 @@ final class LakeTable(
         val live = buckets.fold(m.files)(bs => m.files.filter(f => bs.contains(f.bucket)))
         if (live.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema)
+        else if (!mergeOnRead) spark.read.schema(schema)
           .parquet(live.map(f => s"$root/${f.path}"): _*)
+        else {
+          val withEpoch = schema.add(StructField("__epoch", LongType, nullable = true))
+          def read(fs: Seq[FileEntry]): DataFrame =
+            spark.read.schema(withEpoch).parquet(fs.map(f => s"$root/${f.path}"): _*)
+          val byBucket = live.groupBy(_.bucket).values.toSeq
+          val single = byBucket.filter(_.size == 1).flatten
+          val multi = byBucket.filter(_.size > 1).flatten
+          val parts = Seq(
+            if (single.isEmpty) None else Some(read(single)),
+            if (multi.isEmpty) None
+            else Some(resolveLatest(read(multi))),
+          ).flatten
+          parts.reduce(_.unionByName(_)).drop("__epoch")
+        }
     }
+  }
+
+  /** Last-writer-wins per key: one row per key per epoch is guaranteed by
+    * the one-commit-per-epoch manifest protocol, so (key, __epoch desc) has
+    * no ties and the resolution is deterministic.
+    */
+  private def resolveLatest(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keyColumns.map(col): _*)
+      .orderBy(col("__epoch").desc_nulls_last)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** MERGE upsert: rows of `upserts` replace existing rows with the same
@@ -147,24 +189,8 @@ final class LakeTable(
     val parent = latestManifest()
     require(parent.forall(_.epoch < epoch), s"epoch $epoch not after ${parent.map(_.epoch)}")
 
-    // schema evolution: merged = parent schema ∪ upsert schema (by name)
-    val upsertSchema = upserts.schema
-    val mergedSchema = parent match {
-      case None => upsertSchema
-      case Some(p) =>
-        val old = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-        val extra = upsertSchema.fields.filter(f => !old.fieldNames.contains(f.name))
-        StructType(old.fields ++ extra.map(f => StructField(f.name, f.dataType, nullable = true)))
-    }
-    val schemaId = parent match {
-      case Some(p) if p.schemaJson == mergedSchema.json => p.schemaId
-      case Some(p)                                      => p.schemaId + 1
-      case None                                         => 1
-    }
-    def conform(df: DataFrame): DataFrame =
-      df.select(mergedSchema.fields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
+    val (mergedSchema, schemaId) = evolveSchema(parent, upserts.schema)
+    def conform(df: DataFrame): DataFrame = conformTo(mergedSchema)(df)
 
     val withBucket = conform(upserts).withColumn("__bucket", bucketCol)
     // buckets touched by this batch — tiny collect (≤ numBuckets ints)
@@ -186,6 +212,9 @@ final class LakeTable(
           // existing rows whose key is replaced by this batch drop out
           .join(withBucket.select(keyColumns.map(col): _*), keyColumns, "left_anti"))
       val mergedRows = existingKept.fold(withBucket)(_.unionByName(withBucket))
+        // per-row commit stamp: lets merge-on-read snapshots resolve
+        // last-writer-wins when COW and delta commits interleave
+        .withColumn("__epoch", lit(epoch))
         // merge shuffle is SALTED: a hot bucket (mega-key skew) spreads over
         // `saltFactor` tasks, each writing its own file into the bucket dir
         .repartition(math.min(numBuckets, touched.size) * saltFactor,
@@ -194,9 +223,10 @@ final class LakeTable(
       mergedRows.write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket")
         .parquet(s"$root/$epochDirRel")
-      // per-bucket row counts for the manifest
-      spark.read.parquet(s"$root/$epochDirRel")
-        .groupBy("__bucket").count().collect()
+      // per-bucket row counts for the manifest: recomputed from the SAME
+      // deterministic plan (callers cache the expensive upstream), which is
+      // cheaper than re-reading the just-written files
+      mergedRows.groupBy("__bucket").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     } else Map.empty
 
@@ -213,6 +243,122 @@ final class LakeTable(
       numBuckets = numBuckets,
       files = files,
       metadata = metadata,
+      lineage = lineage ++ Map("totalRows" -> files.map(_.rows).sum),
+    )
+    writeManifestAtomically(manifest)
+    manifest
+  }
+
+  /** Schema evolution: merged = parent schema ∪ upsert schema (by name);
+    * new columns land nullable, schemaId bumps iff the schema changed.
+    */
+  private def evolveSchema(parent: Option[Manifest],
+                           upsertSchema: StructType): (StructType, Int) = {
+    val mergedSchema = parent match {
+      case None => upsertSchema
+      case Some(p) =>
+        val old = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        val extra = upsertSchema.fields.filter(f => !old.fieldNames.contains(f.name))
+        StructType(old.fields ++ extra.map(f => StructField(f.name, f.dataType, nullable = true)))
+    }
+    val schemaId = parent match {
+      case Some(p) if p.schemaJson == mergedSchema.json => p.schemaId
+      case Some(p)                                      => p.schemaId + 1
+      case None                                         => 1
+    }
+    (mergedSchema, schemaId)
+  }
+
+  private def conformTo(schema: StructType)(df: DataFrame): DataFrame =
+    df.select(schema.fields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+
+  /** Merge-on-read upsert: writes ONLY the upsert rows as a per-epoch delta
+    * (one file set per touched bucket); existing rows with the same key stay
+    * in older files and lose at read time to the higher `__epoch` stamp
+    * (resolveLatest). Write amplification is O(upserts) — the property the
+    * copy-on-write merge() can't give when hot buckets are touched every
+    * epoch — at the cost of a read-side resolution that stays bounded:
+    * any bucket exceeding `compactThreshold` live files is compacted back
+    * to a single file set inside the committing job. Schema-evolution,
+    * exactly-once and crash-atomicity rules are identical to merge().
+    */
+  def mergeDelta(upserts: DataFrame, epoch: Long,
+                 metadata: Map[String, String] = Map.empty,
+                 lineage: Map[String, Long] = Map.empty,
+                 touchedBuckets: Option[Set[Int]] = None): Manifest = {
+    if (Files.exists(manifestPath(epoch)))
+      return manifestAt(epoch).get
+
+    val spark = upserts.sparkSession
+    val parent = latestManifest()
+    require(parent.forall(_.epoch < epoch), s"epoch $epoch not after ${parent.map(_.epoch)}")
+
+    val (mergedSchema, schemaId) = evolveSchema(parent, upserts.schema)
+    val withBucket = conformTo(mergedSchema)(upserts)
+      .withColumn("__bucket", bucketCol)
+      .withColumn("__epoch", lit(epoch))
+    val touched = touchedBuckets.getOrElse(
+      withBucket.select("__bucket").distinct().collect().map(_.getInt(0)).toSet)
+
+    val epochDirRel = f"data/e$epoch%012d"
+    val counts: Map[Int, Long] =
+      if (touched.isEmpty) Map.empty
+      else {
+        withBucket
+          .repartition(math.max(1, math.min(numBuckets, touched.size)) * saltFactor,
+            col("__bucket"), saltCol)
+          .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .parquet(s"$root/$epochDirRel")
+        // counts recomputed from the same deterministic plan (no read-back);
+        // a bucket with zero rows leaves no dir and gets no entry
+        withBucket.groupBy("__bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
+    val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
+      FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
+    }
+    var files = (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).sortBy(_.bucket)
+
+    // compact over-threshold buckets: read their live files, resolve the
+    // per-key winners, rewrite as one file set (per-row __epoch preserved)
+    val overfull = files.groupBy(_.bucket).filter(_._2.size > compactThreshold).keySet
+    if (overfull.nonEmpty) {
+      val cDirRel = f"data/e$epoch%012dc"
+      val cInput = files.filter(f => overfull.contains(f.bucket))
+      val withEpochSchema = mergedSchema.add(StructField("__epoch", LongType, nullable = true))
+      val resolved = resolveLatest(
+        spark.read.schema(withEpochSchema)
+          .parquet(cInput.map(f => s"$root/${f.path}"): _*))
+        .withColumn("__bucket", bucketCol)
+      resolved
+        .repartition(math.max(1, math.min(numBuckets, overfull.size)) * saltFactor,
+          col("__bucket"), saltCol)
+        .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(s"$root/$cDirRel")
+      val cCounts = spark.read.parquet(s"$root/$cDirRel")
+        .groupBy("__bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      files = (files.filterNot(f => overfull.contains(f.bucket)) ++
+        cCounts.toSeq.sortBy(_._1).map { case (b, rows) =>
+          FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch)
+        }).sortBy(_.bucket)
+    }
+
+    val manifest = Manifest(
+      epoch = epoch,
+      parentEpoch = parent.map(_.epoch).getOrElse(-1L),
+      schemaId = schemaId,
+      schemaJson = mergedSchema.json,
+      keyColumns = keyColumns,
+      numBuckets = numBuckets,
+      files = files,
+      metadata = metadata,
+      // totalRows is PHYSICAL rows for a merge-on-read table (superseded
+      // versions included until compaction)
       lineage = lineage ++ Map("totalRows" -> files.map(_.rows).sum),
     )
     writeManifestAtomically(manifest)
@@ -272,14 +418,9 @@ final class LakeTable(
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
-        // pure-redelivery batches write no rows → no bucket dirs to read
-        val epochDir = Paths.get(root, epochDirRel)
-        val hasBuckets = Files.isDirectory(epochDir) &&
-          Files.list(epochDir).iterator().asScala.exists(
-            _.getFileName.toString.startsWith("__bucket="))
-        if (!hasBuckets) Map.empty
-        else spark.read.parquet(s"$root/$epochDirRel")
-          .groupBy("__bucket").count().collect()
+        // counts recomputed from the same deterministic plan (no read-back);
+        // pure-redelivery batches count to nothing and add no entries
+        fresh.groupBy("__bucket").count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
       }
     val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>

@@ -32,8 +32,11 @@ object CdcDemo {
     (0L until cfg.epochs.toLong).foreach { e =>
       val t0 = System.nanoTime()
       val m = eng.applyEpoch(spark, log.filter(_.epoch == e), e)
+      // totalRows counts physical rows (merge-on-read keeps superseded
+      // versions until compaction); show the resolved live count
       println(f"epoch $e: ${m.lineage("batchRows")} events → " +
-        f"table ${m.lineage("totalRows")} rows, schemaId ${m.schemaId}, " +
+        f"table ${eng.currentTransfers(spark).count()} live rows " +
+        f"(${m.lineage("totalRows")} physical), schemaId ${m.schemaId}, " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 

@@ -140,6 +140,49 @@ class CdcEngineSpec extends SparkSpec {
     assert(snap.count() == CdcPipeline.classify(log, 14 * day).count())
   }
 
+  test("transfers merge-on-read: an epoch writes O(batch), not O(bucket)") {
+    val dir = tmpDir("mor")
+    val eng = new CdcEngine(dir, numBuckets = 4, cutoffMicros = 14 * day)
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    val m0 = eng.transfers.latestManifest().get
+    val rows0 = m0.files.map(_.rows).sum
+
+    // epoch 1 touches exactly ONE session
+    val one = log.filter(_.epoch == 1L).collect().head
+    eng.applyEpoch(spark, Seq(one).toDS(), 1L)
+    val m1 = eng.transfers.latestManifest().get
+    val added = m1.files.filter(_.epochAdded == 1L)
+    assert(added.map(_.rows).sum == 1L,
+      s"single-session epoch must write exactly one transfer row, got $added")
+    // every epoch-0 file is carried untouched (no bucket rewrite)
+    assert(m0.files.forall(m1.files.contains),
+      "untouched files must be carried, not rewritten")
+    assert(m1.files.map(_.rows).sum == rows0 + 1)
+
+    // resolution: the re-upserted session appears once, with the new version
+    val snap = eng.currentTransfers(spark)
+    assert(snap.filter(col("repo") === one.repo).count() == 1)
+    assert(snap.count() == CdcPipeline.classify(log.filter(_.epoch == 0L)
+      .union(Seq(one).toDS()), 14 * day).count())
+  }
+
+  test("merge-on-read compaction bounds live files per bucket") {
+    val dir = tmpDir("compact")
+    val t = new LakeTable(s"$dir/t", numBuckets = 2, keyColumns = Seq("k"),
+      mergeOnRead = true, compactThreshold = 3)
+    // hammer one key: every epoch adds a delta file to the same bucket
+    (0L to 9L).foreach { e =>
+      t.mergeDelta(Seq(("hot", e)).toDF("k", "v"), epoch = e)
+    }
+    val m = t.latestManifest().get
+    val perBucket = m.files.groupBy(_.bucket).map(_._2.size)
+    assert(perBucket.forall(_ <= 3 + 1),
+      s"live files per bucket must stay bounded by the threshold: ${m.files}")
+    // resolution yields the last writer despite all the deltas/compactions
+    val rows = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("hot", 9L)))
+  }
+
   test("state table keeps first-seen offset for redelivered commits (insert-ignore)") {
     val dir = tmpDir("firstwins")
     val eng = new CdcEngine(dir, numBuckets = 4, cutoffMicros = 0L)
