@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.cdc.{CdcPipeline, ChangeEvent, TransferRecord}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming flavour of the CDC pipeline: the change log arrives
@@ -10,13 +11,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * classified rows (Update mode ≙ MERGE upsert downstream).
   *
   * The fold is the SAME pure function as the batch path
-  * (CdcPipeline.classifyGroup) — batch/stream parity by construction. The
-  * session-cutoff model (drop events > cutoff after session start —
-  * reference reporting-window semantics, `reporting_window.py:9-72` +
-  * `transfer_service.py:158-164`) is enforced inside the classifier, so
-  * late events mutate state but can never change the classified output; an
-  * optional event-time timeout (cutoff past session start) lets state be
-  * evicted once the watermark passes.
+  * (CdcPipeline.classifyGroup) — batch/stream parity by construction.
+  *
+  * State is BOUNDED (the 100×-keys requirement): the input carries a
+  * watermark (allowed lateness defaults to the cutoff itself — the
+  * reference's lateness model, which reads `cutoff` days past the window
+  * end, `reporting_window.py:20-23`), and each session arms an event-time
+  * timeout at `session_start + cutoff`. Once the watermark passes that
+  * horizon the session is EVICTED: the cutoff filter (P3,
+  * `transfer_service.py:158-164`) guarantees no later event can change the
+  * classified output, so the final emitted row is already correct. Events
+  * arriving after eviction are either dropped as late (older than the
+  * watermark) or — if they form a start-less fragment — classify to nothing;
+  * only a brand-new request-start past the horizon opens a fresh session,
+  * which mirrors the reference assigning such a conversation to a later
+  * reporting window.
   */
 object StreamingPipeline {
 
@@ -26,33 +35,60 @@ object StreamingPipeline {
   def classifyStream(
       events: Dataset[ChangeEvent],
       cutoffMicros: Long,
+      /** Max out-of-order arrival tolerated before events count as late;
+        * None ⇒ the cutoff itself (reference lateness model).
+        */
+      watermarkDelay: Option[String] = None,
   ): Dataset[TransferRecord] = {
     import events.sparkSession.implicits._
-    events
+    val delay = watermarkDelay.getOrElse(s"${cutoffMicros / 1000000L} seconds")
+    val withTs = events
+      .withColumn("__evt_ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("__evt_ts", delay)
+      .as[ChangeEvent]
+    withTs
       .groupByKey(_.repo)
       .flatMapGroupsWithState[SessionState, TransferRecord](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (repo: String, incoming: Iterator[ChangeEvent], state: GroupState[SessionState]) =>
-          val prior = if (state.exists) state.get.events else Seq.empty[ChangeEvent]
-          // dedup against prior state: first-seen offset wins (idempotent
-          // under redelivery, same rule as the batch state table)
-          val byCommit = scala.collection.mutable.LinkedHashMap.empty[String, ChangeEvent]
-          prior.foreach(e => byCommit.update(e.commit, e))
-          incoming.foreach { e =>
-            byCommit.get(e.commit) match {
-              case Some(prev) =>
-                if (e.offset < prev.offset ||
-                    (e.offset == prev.offset && e.epoch < prev.epoch))
+          if (state.hasTimedOut) {
+            // watermark passed session_start + cutoff: the classified row is
+            // final (P3 drops anything later) — evict the session's state
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = if (state.exists) state.get.events else Seq.empty[ChangeEvent]
+            // dedup against prior state: first-seen (min offset, then min
+            // epoch) wins — idempotent under redelivery, same rule as the
+            // batch state table. `changed` tracks whether anything new
+            // landed, replacing a full prior-vs-merged vector compare.
+            val byCommit = scala.collection.mutable.LinkedHashMap.empty[String, ChangeEvent]
+            prior.foreach(e => byCommit.update(e.commit, e))
+            var changed = false
+            incoming.foreach { e =>
+              byCommit.get(e.commit) match {
+                case Some(prev) =>
+                  if (e.offset < prev.offset ||
+                      (e.offset == prev.offset && e.epoch < prev.epoch)) {
+                    byCommit.update(e.commit, e)
+                    changed = true
+                  }
+                case None =>
                   byCommit.update(e.commit, e)
-              case None => byCommit.update(e.commit, e)
+                  changed = true
+              }
             }
-          }
-          val merged = byCommit.values.toVector
-          if (merged == prior) Iterator.empty // pure redelivery: no re-emit
-          else {
-            state.update(SessionState(merged,
-              (if (state.exists) state.get.emittedCount else 0L) + 1L))
-            CdcPipeline.classifyGroup(repo, merged.iterator, cutoffMicros).iterator
+            if (!changed) Iterator.empty // pure redelivery: no re-emit
+            else {
+              val merged = byCommit.values.toVector
+              state.update(SessionState(merged,
+                (if (state.exists) state.get.emittedCount else 0L) + 1L))
+              val startMicros = merged.iterator.map(_.tsMicros).min
+              val horizonMs = startMicros / 1000L + cutoffMicros / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+              CdcPipeline.classifyGroup(repo, merged.iterator, cutoffMicros).iterator
+            }
           }
       }
   }
