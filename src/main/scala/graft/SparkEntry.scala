@@ -205,11 +205,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
-    // ---- similarity: IVF-bucketed top-k (scale path) ----
+    // ---- similarity: IVF top-k (scale path) — deterministic spherical
+    // k-means centroids, multi-probe; recall vs brute force is asserted in
+    // OpsSpec on planted clusters (approximate ⇒ rows-only driver check) ----
     "e02_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cells = VectorOps.assignCells(emb, "vec_id", "embedding", numCells = 8)
-      VectorOps.ivfTopK(cells, cells.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      val model = VectorOps.trainIvf(emb, "vec_id", "embedding", numCells = 16)
+      val cells = VectorOps.assignCells(emb, "vec_id", "embedding", model)
+      VectorOps.ivfTopK(cells, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        model, k = 5, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 

@@ -41,38 +41,123 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Deterministic IVF cells: centroids = the first `numCells` corpus
-    * vectors by id (a stand-in for k-means — deterministic, seedless).
-    * Returns corpus + `cell` column.
+  /** IVF coarse quantizer: unit-norm centroids from deterministic spherical
+    * k-means (k-means++ seeding + Lloyd iterations) over a bounded,
+    * hash-chosen sample — the driver-side cost is O(sample · cells · iters)
+    * floats regardless of corpus size, and the result is replay-stable (no
+    * wall-clock randomness anywhere).
     */
-  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-                  numCells: Int): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol).asc).limit(numCells)
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.get(0), r.getSeq[Float](1)))
-    val centroidArr = array(centroids.zipWithIndex.map { case ((_, v), i) =>
-      struct(lit(i).as("cell"), array(v.map(lit): _*).cast("array<float>").as("cv"))
-    }: _*)
-    corpus.withColumn("__cands", centroidArr)
-      .withColumn("cell",
-        aggregate(col("__cands"),
-          struct(lit(-1).as("cell"), lit(Double.MinValue).as("best")),
-          (acc, cand) => {
-            val s = cosine(cand.getField("cv"), col(vecCol))
-            when(s > acc.getField("best"),
-              struct(cand.getField("cell").as("cell"), s.as("best")))
-              .otherwise(acc)
-          }).getField("cell"))
-      .drop("__cands")
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def numCells: Int = centroids.length
   }
 
-  /** IVF top-k: probe only the query's own cell (+ next-nearest cells when
-    * nprobe > 1). Approximate; recall grows with nprobe.
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String, numCells: Int,
+               sampleSize: Int = 4096, iters: Int = 8): IvfModel = {
+    // deterministic uniform sample: the sampleSize lowest xxhash64(id) rows
+    val sample = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h").asc).limit(sampleSize)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).toArray)
+      .map(normalize).filter(_ != null)
+    require(sample.nonEmpty, "trainIvf: empty corpus")
+    val k = math.min(numCells, sample.length)
+
+    // deterministic LCG (the spec forbids wall-clock/java.util.Random seeds)
+    var rng = 0x5DEECE66DL
+    def nextDouble(): Double = {
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      (rng >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def dist2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: D²-weighted picks
+    val centers = new Array[Array[Float]](k)
+    centers(0) = sample((nextDouble() * sample.length).toInt)
+    val d2 = sample.map(dist2(_, centers(0)))
+    var ci = 1
+    while (ci < k) {
+      val total = d2.sum
+      var pick = nextDouble() * total
+      var idx = 0
+      while (idx < sample.length - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
+      centers(ci) = sample(idx)
+      var i = 0
+      while (i < sample.length) {
+        val d = dist2(sample(i), centers(ci))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      ci += 1
+    }
+    // Lloyd on the unit sphere: assign by min distance (= max cosine for
+    // unit vectors), recenter to the normalized mean; empty cells keep
+    // their previous centroid
+    val dim = sample.head.length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = dist2(p, centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val m = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          val n = normalize(m)
+          if (n != null) centers(c) = n
+        }
+        c += 1
+      }
+    }
+    IvfModel(centers)
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    if (s == 0.0) null
+    else {
+      val inv = 1.0 / math.sqrt(s)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Corpus + `cell` column: nearest centroid via the codegen'd
+    * NearestCellsExpr (a narrow map — cell is then the partition/prune key).
     */
-  def ivfTopK(corpusWithCells: DataFrame, queriesWithCells: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val q = queriesWithCells.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell").as("qcell"))
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  model: IvfModel): DataFrame =
+    corpus.withColumn("cell", element_at(
+      graft.functions.NearestCellsExpr.nearestCells(col(vecCol), model.centroids, 1), 1))
+
+  /** IVF top-k: each query probes its `nprobe` nearest cells — at scale the
+    * scan reads nprobe/numCells of the corpus instead of all of it (cell is
+    * a pruning key). Approximate; recall grows with nprobe (see the OpsSpec
+    * recall assertion on planted clusters).
+    */
+  def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, model: IvfModel,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qcell", explode(
+        graft.functions.NearestCellsExpr.nearestCells(col("qv"), model.centroids, nprobe)))
     val c = corpusWithCells.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
     val scored = c.join(broadcast(q),

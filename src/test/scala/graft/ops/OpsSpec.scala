@@ -42,22 +42,56 @@ class OpsSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
-  test("IVF top-k equals brute force when the query's cell holds its neighbors") {
+  test("IVF top-k precision: every hit is a genuine brute-force neighbor") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val cells = VectorOps.assignCells(emb, "vec_id", "embedding", numCells = 4)
-    val queries = cells.filter($"vec_id" < 2)
-    val ivf = VectorOps.ivfTopK(cells, queries, "vec_id", "embedding", k = 3)
+    val model = VectorOps.trainIvf(emb, "vec_id", "embedding", numCells = 4)
+    val cells = VectorOps.assignCells(emb, "vec_id", "embedding", model)
+    val queries = emb.filter($"vec_id" < 2)
+    val ivf = VectorOps.ivfTopK(cells, queries, "vec_id", "embedding", model, k = 3)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
-    val brute = VectorOps.bruteForceTopK(emb, emb.filter($"vec_id" < 2),
-        "vec_id", "embedding", k = 50)
+    val brute = VectorOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 50)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
-    // every IVF hit must be a genuine high-rank brute-force neighbor from
-    // the same cell — recall is partial (nprobe=1), precision must be exact
     val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
     assert(ivf.nonEmpty)
     ivf.foreach { case (q, n, _) =>
       assert(bruteMap.contains((q, n)), s"IVF produced non-neighbor ($q,$n)")
     }
+  }
+
+  test("IVF recall ≥ 0.9 vs brute force on planted clusters") {
+    // 8 well-separated unit centers (from orthogonal-ish seeds), 40 points
+    // each with small deterministic noise — k-means must find the clusters
+    // and nprobe=2 must recover ≥90% of true top-10 neighbors
+    def lcg(seed: Long): Iterator[Double] = Iterator.iterate(
+      seed * 6364136223846793005L + 1442695040888963407L)(
+      s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 11).toDouble / (1L << 53).toDouble)
+    val dim = 32
+    val centers = (0 until 8).map { c =>
+      val r = lcg(c + 1)
+      Array.fill(dim)((r.next() - 0.5).toFloat)
+    }
+    val points = (0 until 8).flatMap { c =>
+      val r = lcg(1000 + c)
+      (0 until 40).map { i =>
+        val v = centers(c).zipWithIndex.map { case (x, _) =>
+          (x + (r.next() - 0.5) * 0.05).toFloat }
+        (c * 1000L + i, v.toSeq)
+      }
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val model = VectorOps.trainIvf(corpus, "vec_id", "embedding", numCells = 8,
+      sampleSize = 320)
+    val cells = VectorOps.assignCells(corpus, "vec_id", "embedding", model)
+    val queries = corpus.filter($"vec_id".isin(0L, 1000L, 2000L, 3000L))
+    val k = 10
+    val ivf = VectorOps.ivfTopK(cells, queries, "vec_id", "embedding", model,
+        k = k, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.9, f"IVF recall $recall%.3f < 0.9")
   }
 
   test("cosineNearDups finds planted near-identical vectors and skips the rest") {
