@@ -32,6 +32,11 @@ final case class TransferRecord(
     duplicatesDropped: Long,
     minOffset: Long,
     maxOffset: Long,
+    // observability counters (reference log probes as numbers; excluded
+    // from row_sha256 like duplicatesDropped)
+    danglingAcks: Long,
+    unknownPurpose: Long,
+    negativeSla: Long,
 )
 
 object CdcPipeline {
@@ -85,7 +90,8 @@ object CdcPipeline {
     // pre-sort by (time, offset): classify()'s stable time sort then keeps
     // the offset tiebreak — a deterministic total order, replay-safe
     val ordered = msgs.result().sortBy(_.timeMicros)
-    TransferClassifier.classify(ordered, cutoffMicros).map { t =>
+    val counters = new graft.classifier.Gp2gpSession.Counters
+    TransferClassifier.classify(ordered, cutoffMicros, counters).map { t =>
       TransferRecord(
         repo = repo,
         conversationId = t.conversationId,
@@ -106,6 +112,9 @@ object CdcPipeline {
         duplicatesDropped = dupes,
         minOffset = minOff,
         maxOffset = maxOff,
+        danglingAcks = counters.danglingAcks,
+        unknownPurpose = counters.unknownPurpose,
+        negativeSla = counters.negativeSla,
       )
     }
   }
@@ -126,9 +135,11 @@ object CdcPipeline {
   def applyGroup(repo: String, events: Iterator[ChangeEvent],
                  cutoffMicros: Long, currentEpoch: Long): Iterator[ApplyOut] = {
     val byCommit = mutable.HashMap.empty[String, ChangeEvent]
+    var dupes = 0L
     events.foreach { e =>
       byCommit.get(e.commit) match {
         case Some(prev) =>
+          dupes += 1
           if (e.offset < prev.offset ||
               (e.offset == prev.offset && e.epoch < prev.epoch))
             byCommit.update(e.commit, e)
@@ -139,22 +150,26 @@ object CdcPipeline {
     val deduped = byCommit.values.toArray
     val fresh = deduped.iterator.filter(_.epoch == currentEpoch)
       .map(e => ApplyOut(None, Some(e)))
+    // the fold dedups BEFORE classify, so redelivery (in-batch or vs prior
+    // state) is counted here, not by the classifier's inner dedup
     val transfer = classifyGroup(repo, deduped.iterator, cutoffMicros)
-      .map(t => ApplyOut(Some(t), None))
+      .map(t => ApplyOut(Some(t.copy(duplicatesDropped = dupes)), None))
     transfer.iterator ++ fresh
   }
 
   /** Canonical per-row hash of the classified output — the replay invariant:
     * two table states are identical iff the (key → row_sha256) maps match.
     * `to_json(struct(...))` is deterministic given fixed column order.
-    * `duplicatesDropped` is excluded: it is an observability counter that
-    * depends on where redelivered copies were dropped (in-batch vs in-state
-    * insert-ignore), not on the semantic session state.
+    * Observability counters are excluded: `duplicatesDropped` depends on
+    * where redelivered copies were dropped (in-batch vs in-state
+    * insert-ignore) and the session counters are diagnostics, not semantic
+    * session state.
     */
+  private val shaExcluded =
+    Set("row_sha256", "duplicatesDropped", "danglingAcks", "unknownPurpose", "negativeSla")
+
   def withRowSha(df: DataFrame): DataFrame = {
-    val dataCols = df.columns
-      .filterNot(c => c == "row_sha256" || c == "duplicatesDropped")
-      .sorted.map(col)
+    val dataCols = df.columns.filterNot(shaExcluded).sorted.map(col)
     df.withColumn("row_sha256", sha2(to_json(struct(dataCols: _*)), 256))
   }
 }
@@ -287,12 +302,23 @@ final class CdcEngine(
       // assumeNew: the fold already guarantees first-seen-only events.
       state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
         touchedBuckets = Some(touched), assumeNew = true)
+      // observability parity with the reference's log probes: dangling-ack /
+      // unknown-purpose / negative-SLA counts land in manifest lineage (the
+      // agg runs on the cached fold output — no extra shuffle)
+      val c = upserts.agg(
+        coalesce(sum("danglingAcks"), lit(0L)),
+        coalesce(sum("unknownPurpose"), lit(0L)),
+        coalesce(sum("negativeSla"), lit(0L)),
+        coalesce(sum("duplicatesDropped"), lit(0L))).collect()(0)
+      val tLineage = lineage ++ Map(
+        "danglingAcks" -> c.getLong(0), "unknownPurpose" -> c.getLong(1),
+        "negativeSla" -> c.getLong(2), "duplicatesDropped" -> c.getLong(3))
       if (morTransfers)
         transfers.mergeDelta(upserts, epoch,
-          metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
+          metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
       else
         transfers.merge(upserts, epoch,
-          metadata = meta, lineage = lineage, touchedBuckets = Some(touched))
+          metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
     } finally out.unpersist()
   }
 

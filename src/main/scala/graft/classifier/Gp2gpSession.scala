@@ -111,12 +111,16 @@ final class Gp2gpSession private (
 
 object Gp2gpSession {
 
-  /** Observability hooks (reference probes, `gp2gp_conversation.py:51-70`):
-    * dangling acks and unknown-purpose messages are counted, not logged row-wise.
+  /** Observability hooks (reference probes): dangling acks and
+    * unknown-purpose messages (`gp2gp_conversation.py:51-70`) and
+    * negative-SLA clamps (`transfer_service.py:176-178`) are counted, not
+    * logged row-wise — the fold surfaces them per session and the engine
+    * sums them into manifest lineage.
     */
   final class Counters {
     var danglingAcks: Long   = 0
     var unknownPurpose: Long = 0
+    var negativeSla: Long    = 0
   }
   private val noopCounters = new Counters
 

@@ -27,7 +27,7 @@ object TransferClassifier {
   ): Option[Transfer] = {
     val sorted = stableSortByTime(unordered)
     val filtered = ignoreMessagesSentAfter(cutoffMicros, sorted)
-    Gp2gpSession.parse(filtered, counters).map(deriveTransfer)
+    Gp2gpSession.parse(filtered, counters).map(s => deriveTransfer(s, counters))
   }
 
   /** Stable sort by time (reference relies on Python's stable sort so that
@@ -54,16 +54,23 @@ object TransferClassifier {
     * to whole seconds with half-even rounding (Python `round`,
     * `transfer.py:31-36`).
     */
-  def slaDurationMicros(session: Gp2gpSession): Option[Long] =
+  def slaDurationMicros(
+      session: Gp2gpSession,
+      counters: Gp2gpSession.Counters = new Gp2gpSession.Counters): Option[Long] =
     session.effectiveFinalAcknowledgementTimeMicros.map { ackTime =>
       val diff = ackTime - session.effectiveRequestCompletedTimeMicros.get
+      // the reference WARNS on negative SLA before clamping
+      // (transfer_service.py:176-178) — surfaced as a counter here
+      if (diff < 0) counters.negativeSla += 1
       math.max(0L, diff)
     }
 
   def roundSeconds(micros: Long): Long = math.rint(micros / 1e6).toLong
 
-  def deriveTransfer(session: Gp2gpSession): Transfer = {
-    val slaMicros = slaDurationMicros(session)
+  def deriveTransfer(
+      session: Gp2gpSession,
+      counters: Gp2gpSession.Counters = new Gp2gpSession.Counters): Transfer = {
+    val slaMicros = slaDurationMicros(session, counters)
     val (status, reason) = assignOutcome(session, slaMicros)
     Transfer(
       conversationId = session.conversationId,

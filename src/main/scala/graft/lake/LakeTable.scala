@@ -100,7 +100,13 @@ final class LakeTable(
   def manifestAt(epoch: Long): Option[Manifest] = {
     val p = manifestPath(epoch)
     if (!Files.exists(p)) None
-    else Some(mapper.readValue(Files.readAllBytes(p), classOf[Manifest]))
+    else {
+      val m = mapper.readValue(Files.readAllBytes(p), classOf[Manifest])
+      // Jackson erases Map[String, Long] values to Integer for small
+      // numbers; renormalize so callers can unbox lineage counters
+      Some(m.copy(lineage = m.lineage.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }))
+    }
   }
 
   /** Time travel: newest manifest with epoch ≤ asOf. */

@@ -183,6 +183,38 @@ class CdcEngineSpec extends SparkSpec {
     assert(rows == Seq(("hot", 9L)))
   }
 
+  test("observability counters land in the transfers manifest lineage") {
+    import graft.classifier.{Interactions, SpineMessage}
+    val t0 = 1577836800000000L
+    def ev(commit: String, msg: SpineMessage, off: Long) =
+      ChangeEvent("rX", "p", commit, "scala", MessageParser.format(msg),
+        offset = off, op = "insert", tsMicros = msg.timeMicros, epoch = 0L)
+    val events = Seq(
+      ev("c1", SpineMessage(t0, "rX", "g1", Interactions.EhrRequestStarted,
+        "a", "b", None, None, None, None), 1L),
+      ev("c2", SpineMessage(t0 + 3000000L, "rX", "g2", Interactions.EhrRequestCompleted,
+        "b", "a", None, None, None, None), 2L),
+      // dangling ack: references a guid no message carries
+      ev("c3", SpineMessage(t0 + 4000000L, "rX", "g3", Interactions.ApplicationAck,
+        "a", "b", Some("nope"), None, None, None), 3L),
+      // unknown purpose: COPC from an asid that is neither requester nor sender
+      ev("c4", SpineMessage(t0 + 5000000L, "rX", "g4", Interactions.CommonPointToPoint,
+        "zz", "b", None, None, None, None), 4L),
+      // redelivered commit: dropped by dedup, counted
+      ev("c1", SpineMessage(t0, "rX", "g1", Interactions.EhrRequestStarted,
+        "a", "b", None, None, None, None), 99L),
+    )
+    val eng = new CdcEngine(tmpDir("counters"), numBuckets = 4, cutoffMicros = 0L)
+    eng.applyEpoch(spark, events.toDS(), 0L)
+    val lin = eng.transfers.latestManifest().get.lineage
+    assert(lin("danglingAcks") == 1L, s"lineage: $lin")
+    assert(lin("unknownPurpose") == 1L, s"lineage: $lin")
+    assert(lin("duplicatesDropped") == 1L, s"lineage: $lin")
+    // negative SLA cannot occur with same-pair effective times (ack sorts
+    // after its message); the counter is the reference's defensive probe
+    assert(lin("negativeSla") == 0L, s"lineage: $lin")
+  }
+
   test("state table keeps first-seen offset for redelivered commits (insert-ignore)") {
     val dir = tmpDir("firstwins")
     val eng = new CdcEngine(dir, numBuckets = 4, cutoffMicros = 0L)

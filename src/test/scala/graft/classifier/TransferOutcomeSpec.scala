@@ -15,7 +15,7 @@ class TransferOutcomeSpec extends AnyFunSuite {
   import TransferStatus._
 
   private def derive(msgs: Vector[SpineMessage]): Transfer =
-    Gp2gpSession.parse(msgs).map(TransferClassifier.deriveTransfer)
+    Gp2gpSession.parse(msgs).map(s => TransferClassifier.deriveTransfer(s))
       .getOrElse(fail("conversation unexpectedly missing start"))
 
   private def assertOutcome(
@@ -136,7 +136,7 @@ class TransferOutcomeSpec extends AnyFunSuite {
   test("ehr_missing_message_for_an_acknowledgement → TECHNICAL/Request not acknowledged; dangling counted") {
     val counters = new Gp2gpSession.Counters
     val t = Gp2gpSession.parse(Scenarios.ehrMissingMessageForAnAcknowledgement, counters)
-      .map(TransferClassifier.deriveTransfer).get
+      .map(s => TransferClassifier.deriveTransfer(s)).get
     assert(t.status == TechnicalFailure)
     assert(t.failureReason.contains(RequestNotAcknowledged))
     assert(counters.danglingAcks == 1)
