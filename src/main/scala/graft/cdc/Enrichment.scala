@@ -55,17 +55,22 @@ object Enrichment {
     rows.toDF()
   }
 
-  /** Expand the dim to one EFFECTIVE row per (asid, query month): the latest
-    * snapshot with yearMonth ≤ the query month (as-of semantics). Runs on
-    * the dim only — broadcastable output.
+  /** Expand the dim to one EFFECTIVE row per (asid, query month): the query
+    * month's snapshot, falling back EXACTLY ONE month — the reference falls
+    * back a single month and raises if that is also missing
+    * (`organisation_metadata_monthly.py:26-34`); here an asid with only
+    * older snapshots yields no row, so the join null-pads instead of
+    * silently enriching from arbitrarily stale metadata. Runs on the dim
+    * only — broadcastable output.
     */
   def effectiveAsOf(dim: DataFrame, queryMonths: Seq[Int]): DataFrame = {
     val months = queryMonths.distinct.sorted
-    val w = Window.partitionBy("asid").orderBy(col("yearMonth").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // yyyymm arithmetic: previous month of yyyy01 is (yyyy-1)12
+    val prevMonth = when(pmod(col("qm"), lit(100)) === 1, col("qm") - 89)
+      .otherwise(col("qm") - 1)
     dim
       .withColumn("qm", explode(lit(months.toArray)))
-      .filter(col("yearMonth") <= col("qm"))
+      .filter(col("yearMonth") <= col("qm") && col("yearMonth") >= prevMonth)
       .withColumn("rn", row_number().over(
         Window.partitionBy("asid", "qm").orderBy(col("yearMonth").desc)))
       .filter(col("rn") === 1)

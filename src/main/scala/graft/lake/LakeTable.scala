@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Commit manifest — the unit of exactly-once. One JSON file per epoch,
@@ -87,13 +87,24 @@ final class LakeTable(
   private def manifestDir: Path = Paths.get(root, "manifests")
   private def manifestPath(epoch: Long): Path = manifestDir.resolve(f"m$epoch%012d.json")
 
-  def latestManifest(): Option[Manifest] = {
-    if (!Files.isDirectory(manifestDir)) return None
-    val epochs = Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
+  /** Directory listing that CLOSES the stream (Files.list leaks an fd per
+    * call otherwise — one engine commits two tables per micro-batch, so a
+    * long-running streaming ingest would exhaust the limit).
+    */
+  private def listNames(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+
+  private def committedEpochs(): Seq[Long] =
+    if (!Files.isDirectory(manifestDir)) Seq.empty
+    else listNames(manifestDir)
       .collect { case s if s.startsWith("m") && s.endsWith(".json") =>
         s.stripPrefix("m").stripSuffix(".json").toLong }
-      .toSeq
+
+  def latestManifest(): Option[Manifest] = {
+    val epochs = committedEpochs()
     if (epochs.isEmpty) None else manifestAt(epochs.max)
   }
 
@@ -111,12 +122,7 @@ final class LakeTable(
 
   /** Time travel: newest manifest with epoch ≤ asOf. */
   def manifestAsOf(asOf: Long): Option[Manifest] = {
-    if (!Files.isDirectory(manifestDir)) return None
-    val epochs = Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("m") && s.endsWith(".json") =>
-        s.stripPrefix("m").stripSuffix(".json").toLong }
-      .filter(_ <= asOf).toSeq
+    val epochs = committedEpochs().filter(_ <= asOf)
     if (epochs.isEmpty) None else manifestAt(epochs.max)
   }
 
@@ -448,17 +454,27 @@ final class LakeTable(
     manifest
   }
 
+  /** Publish via hard-link, not rename: POSIX rename (ATOMIC_MOVE) silently
+    * REPLACES an existing target, so a racing duplicate-epoch committer
+    * would overwrite the first commit — link(2) is equally atomic but fails
+    * with EEXIST, making first-commit-wins real. Stale `.tmp` files from
+    * crashed commits are swept first (single writer per table; a duplicate
+    * committer of the SAME epoch writes its own distinctly-named tmp).
+    */
   private def writeManifestAtomically(m: Manifest): Unit = {
     Files.createDirectories(manifestDir)
+    listNames(manifestDir).filter(_.endsWith(".tmp")).foreach { stale =>
+      if (stale != s".m${m.epoch}.json.tmp")
+        Files.deleteIfExists(manifestDir.resolve(stale))
+    }
     val tmp = manifestDir.resolve(s".m${m.epoch}.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
-    try
-      Files.move(tmp, manifestPath(m.epoch), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(m.epoch), tmp)
     catch {
-      // concurrent committer won the race for this epoch: exactly-once keeps
-      // the first commit, ours must be identical by determinism
-      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
-    }
+      // a concurrent committer won the race for this epoch: exactly-once
+      // keeps the first commit (ours is identical by determinism)
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    } finally Files.deleteIfExists(tmp)
   }
 }
 

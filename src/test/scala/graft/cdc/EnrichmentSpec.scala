@@ -37,6 +37,17 @@ class EnrichmentSpec extends SparkSpec {
     assert(a6b.toSeq == Seq("O00006-202001"))
   }
 
+  test("fallback is bounded to one month — staler snapshots do not leak") {
+    val stale = Seq(Enrichment.OrgDimRow("asid-X", "OX", "P", "S", "SN", 201909)).toDF()
+    assert(Enrichment.effectiveAsOf(stale, Seq(201912)).count() == 0,
+      "a 3-month-old snapshot must NOT enrich (reference raises KeyError)")
+    val oneOld = Seq(Enrichment.OrgDimRow("asid-X", "OX", "P", "S", "SN", 201911)).toDF()
+    assert(Enrichment.effectiveAsOf(oneOld, Seq(201912)).count() == 1)
+    // year boundary: 201912 is the previous month of 202001
+    val dec = Seq(Enrichment.OrgDimRow("asid-X", "OX", "P", "S", "SN", 201912)).toDF()
+    assert(Enrichment.effectiveAsOf(dec, Seq(202001)).count() == 1)
+  }
+
   test("enrich joins both practice roles as-of month, null-pads misses") {
     val transfers = Seq(
       // month 201912: requester asid-6 (gap month → 201911 snapshot),
