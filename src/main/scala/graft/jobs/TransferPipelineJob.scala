@@ -1,0 +1,112 @@
+package graft.jobs
+
+import graft.cdc.{CdcPipeline, Enrichment, Export, ReportingWindow}
+import graft.sources.ChangeLogSource
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** The reference's front door re-expressed: an env-configured batch run —
+  * window resolution (explicit start/end or the yesterday−cutoff default),
+  * gzip-CSV scan, classify, optional dimension enrichment, daily-partitioned
+  * export, optional MI branch. Donors: `pipeline/config.py:76-92` (env
+  * parsing, paired-date validation, defaults) and `pipeline/main.py:21-34`
+  * (runner selection via CLASSIFY_MI_EVENTS).
+  *
+  * Env surface (graft-prefixed analogues of the reference's variables):
+  *   GRAFT_START_DATE / GRAFT_END_DATE  yyyy-MM-dd, both or neither
+  *   GRAFT_CUTOFF_DAYS                  default 14
+  *   GRAFT_INPUT                        change-log CSV dir(s), comma-separated
+  *   GRAFT_OUTPUT                       daily parquet export dir
+  *   GRAFT_DIM_PATH                     optional org-dimension parquet
+  *   GRAFT_CLASSIFY_MI=true             run the MI branch instead
+  *   GRAFT_MI_INPUT / GRAFT_MI_OUTPUT   MI JSON events dir → parquet dir
+  */
+final case class PipelineConfig(
+    window: ReportingWindow,
+    inputPaths: Seq[String],
+    outputDir: String,
+    dimPath: Option[String],
+    classifyMi: Boolean,
+    miInput: Option[String],
+    miOutput: Option[String],
+)
+
+object PipelineConfig {
+  def fromEnv(env: Map[String, String],
+              today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): PipelineConfig = {
+    val cutoff = env.get("GRAFT_CUTOFF_DAYS").map(_.toInt).getOrElse(14)
+    val window = (env.get("GRAFT_START_DATE"), env.get("GRAFT_END_DATE")) match {
+      case (Some(s), Some(e)) =>
+        ReportingWindow(LocalDate.parse(s), LocalDate.parse(e), cutoff)
+      case (None, None) => ReportingWindow.default(today, cutoff)
+      case _ => throw new IllegalArgumentException(
+        "GRAFT_START_DATE and GRAFT_END_DATE must be provided together " +
+          "(reference config.py pairing rule)")
+    }
+    val classifyMi = env.get("GRAFT_CLASSIFY_MI").contains("true")
+    def required(k: String): String = env.getOrElse(k,
+      throw new IllegalArgumentException(s"$k is required"))
+    PipelineConfig(
+      window = window,
+      inputPaths =
+        if (classifyMi) Seq.empty
+        else required("GRAFT_INPUT").split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+      outputDir = if (classifyMi) "" else required("GRAFT_OUTPUT"),
+      dimPath = env.get("GRAFT_DIM_PATH"),
+      classifyMi = classifyMi,
+      miInput = env.get("GRAFT_MI_INPUT"),
+      miOutput = env.get("GRAFT_MI_OUTPUT"),
+    )
+  }
+}
+
+object TransferPipelineJob {
+
+  /** Spine branch: scan → classify → window filter → (enrich) → daily export. */
+  def runSpine(spark: SparkSession, cfg: PipelineConfig): Long = {
+    val events = ChangeLogSource.readCsv(spark, cfg.inputPaths: _*)
+    val w = cfg.window
+    val classified = CdcPipeline.classify(events, w.cutoffMicros).toDF()
+      .filter(col("dateRequestedMicros") >= lit(w.startMicros) &&
+        col("dateRequestedMicros") < lit(w.endMicros))
+    val enriched = cfg.dimPath match {
+      case Some(p) => Enrichment.enrich(classified, spark.read.parquet(p))
+      case None    => classified
+    }
+    Export.exportDaily(enriched, cfg.outputDir)
+    // the reference's one runtime metric: per-output row count log
+    val n = spark.read.parquet(cfg.outputDir).count()
+    println(s"[graft] TRANSFER_CLASSIFIER_ROW_COUNT total=$n -> ${cfg.outputDir}")
+    n
+  }
+
+  /** MI branch (reference MiRunner): JSON events → ordered fold → parquet. */
+  def runMi(spark: SparkSession, cfg: PipelineConfig): Long = {
+    val in = cfg.miInput.getOrElse(
+      throw new IllegalArgumentException("GRAFT_MI_INPUT is required with GRAFT_CLASSIFY_MI"))
+    val out = cfg.miOutput.getOrElse(
+      throw new IllegalArgumentException("GRAFT_MI_OUTPUT is required with GRAFT_CLASSIFY_MI"))
+    val transfers = graft.mi.MiPipeline.toMiTransfers(
+      graft.mi.MiPipeline.readEvents(spark, in))
+    transfers.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"[graft] MI_TRANSFER_ROW_COUNT total=$n -> $out")
+    n
+  }
+
+  def run(spark: SparkSession, cfg: PipelineConfig): Long =
+    if (cfg.classifyMi) runMi(spark, cfg) else runSpine(spark, cfg)
+
+  def main(args: Array[String]): Unit = {
+    val cfg = PipelineConfig.fromEnv(sys.env)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfg) finally spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.cdc.{ChangeEvent, MessageParser}
+import graft.classifier.{Interactions, SpineMessage}
+import java.time.LocalDate
+
+/** The env front door: paired-date validation, defaults, and an end-to-end
+  * spine run from CSV input to daily parquet export (reference
+  * `pipeline/config.py:76-92` + `main.py:21-34` behavior).
+  */
+class PipelineJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("config: dates must come paired; defaults mirror the reference") {
+    val today = LocalDate.of(2020, 1, 20)
+    val both = PipelineConfig.fromEnv(Map(
+      "GRAFT_START_DATE" -> "2019-12-02", "GRAFT_END_DATE" -> "2019-12-05",
+      "GRAFT_CUTOFF_DAYS" -> "7",
+      "GRAFT_INPUT" -> "/in", "GRAFT_OUTPUT" -> "/out"), today)
+    assert(both.window.start == LocalDate.of(2019, 12, 2))
+    assert(both.window.cutoffDays == 7)
+
+    val defaulted = PipelineConfig.fromEnv(
+      Map("GRAFT_INPUT" -> "/in", "GRAFT_OUTPUT" -> "/out"), today)
+    // reference default: the single day at today − cutoff − 1
+    assert(defaulted.window.days == Seq(today.minusDays(14 + 1)))
+
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromEnv(Map("GRAFT_START_DATE" -> "2019-12-02",
+        "GRAFT_INPUT" -> "/in", "GRAFT_OUTPUT" -> "/out"), today)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromEnv(Map.empty, today) // GRAFT_INPUT missing
+    }
+  }
+
+  test("spine run: CSV in, daily parquet out, row count returned") {
+    val t0 = 1575288000000000L // 2019-12-02 12:00 UTC
+    val day = 24L * 3600 * 1000000L
+    def ev(conv: String, guid: String, interaction: String, ts: Long,
+           ref: Option[String], off: Long) =
+      ChangeEvent(conv, "p", guid, "csv",
+        MessageParser.format(SpineMessage(ts, conv, guid, interaction,
+          "asid-1", "asid-2", ref, None, None, None)),
+        offset = off, op = "insert", tsMicros = ts, epoch = 0L)
+    val events = Seq(
+      ev("cA", "a1", Interactions.EhrRequestStarted, t0, None, 1L),
+      ev("cA", "a2", Interactions.EhrRequestCompleted, t0 + 60000000L, None, 2L),
+      ev("cA", "a3", Interactions.ApplicationAck, t0 + 120000000L, Some("a2"), 3L),
+      ev("cB", "b1", Interactions.EhrRequestStarted, t0 + day, None, 4L),
+      // outside [start, end) — excluded by the window filter
+      ev("cC", "c1", Interactions.EhrRequestStarted, t0 + 10 * day, None, 5L),
+    )
+    val in = tmpDir("job-in"); val out = tmpDir("job-out")
+    graft.sources.ChangeLogSource.writeCsv(events.toDS(), in)
+
+    val cfg = PipelineConfig.fromEnv(Map(
+      "GRAFT_START_DATE" -> "2019-12-02", "GRAFT_END_DATE" -> "2019-12-05",
+      "GRAFT_INPUT" -> in, "GRAFT_OUTPUT" -> out), LocalDate.of(2020, 1, 20))
+    val n = TransferPipelineJob.run(spark, cfg)
+    assert(n == 2L)
+    val days = spark.read.parquet(out).select("date_requested_day")
+      .distinct().as[String].collect().sorted.toSeq
+    assert(days == Seq("2019-12-02", "2019-12-03"))
+  }
+}
