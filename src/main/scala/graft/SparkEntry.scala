@@ -309,6 +309,19 @@ object SparkEntry {
         .groupBy("status", "failureReason").agg(count(lit(1)).as("n"))
     }),
 
+    // ---- A3/exactly-once golden: ONE checksum over the whole classified
+    // table (sha256 of the sorted per-row sha256s) — pins full table
+    // content; any drift in parse, dedup, ordering, or the state machine
+    // flips it. ----
+    "c04_cdc_checksum" -> ((s, _) => {
+      val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
+      CdcPipeline.withRowSha(CdcPipeline.classify(
+          ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF())
+        .agg(count(lit(1)).as("n"),
+          sha2(concat_ws("", sort_array(collect_list(col("row_sha256")))), 256)
+            .as("table_sha256"))
+    }),
+
     // ---- the CDC engine itself: deterministic log → classified table ----
     "c01_cdc_classify" -> ((s, _) => {
       val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
@@ -496,6 +509,10 @@ object SparkEntry {
     // golden histogram of the deterministic generator + classifier (the
     // generator is seeded; this pins the classified-outcome distribution
     // like the reference's golden daily outputs)
+    // full-table content golden: one sha256 over the sorted per-row hashes
+    "c04_cdc_checksum" ->
+      """SELECT CAST(300 AS BIGINT) AS n,
+           '820de2effe019eb1fe99de2c2e39a51e9e5f0434f8451b67ddeb883f0110bb13' AS table_sha256""",
     "c03_outcome_dist" ->
       """SELECT status, "failureReason", CAST(n AS BIGINT) AS n FROM (VALUES
            ('Integrated on time',   NULL,                                        177),
