@@ -60,6 +60,42 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$plan")
   }
 
+  test("mi01: the ordered group-by reuses ONE shuffle for window + aggregate") {
+    // exchanges are inserted by EnsureRequirements → inspect executedPlan
+    val plan = SparkEntry.queries("mi01_mi_transfers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one exchange builds the arrival-order seq (by user), ONE more feeds
+    // both the conversation window and the aggregate — 3 would mean the
+    // window and the group-by each shuffled
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2,
+      s"window and agg must share the conversation hash: $shuffles in\n$plan")
+    assert(plan.contains("partial_"), "aggregation must have a map-side partial phase")
+  }
+
+  test("e03: candidate generation dedups on ids only; vectors attach after") {
+    val plan = SparkEntry.queries("e03_cos_dups")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // the pair-dedup aggregate must run over bare (a, b) ids — if an
+    // embedding column reached it, the shuffle would carry vectors
+    val dedup = plan.linesIterator
+      .find(l => l.contains("HashAggregate(keys=[a#") && l.contains("b#"))
+      .getOrElse(fail(s"no pair-dedup aggregate in:\n$plan"))
+    assert(!dedup.contains("embedding") && !dedup.contains(", v#"),
+      s"pair dedup must not carry vectors: $dedup")
+    // exact cosine verification exists (the join filter on the threshold)
+    assert(plan.contains(">= 0.95"), "exact verify filter missing")
+  }
+
+  test("e02: IVF probes via broadcast and computes top-k partially before the shuffle") {
+    val plan = SparkEntry.queries("e02_ann_ivf")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "query side must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit must push a partial top-k below the shuffle:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan-side of q03 aggregation") {
     val df = SparkEntry.queries("q03_session_agg")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages are visible
