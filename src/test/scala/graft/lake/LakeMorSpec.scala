@@ -1,0 +1,57 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read resolution under randomized (seeded) schedules: any
+  * interleaving of delta commits, copy-on-write commits, and threshold
+  * compactions must resolve to exactly the last-writer-wins key→value map,
+  * at the head and at any time-travel point.
+  */
+class LakeMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("random delta/COW schedules resolve to last-writer-wins at every epoch") {
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val t = new LakeTable(tmpDir(s"mor-prop-$seed") + "/t", numBuckets = 3,
+        keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2)
+      val keys = ('a' to 'f').map(_.toString)
+      var expectedAt = Map.empty[Long, Map[String, Long]] // epoch → lww map
+      var current = Map.empty[String, Long]
+
+      (0L until 6L).foreach { epoch =>
+        val picked = rng.shuffle(keys).take(1 + rng.nextInt(keys.size))
+        val upserts = picked.map(k => (k, epoch * 100 + rng.nextInt(100).toLong))
+        val df = upserts.toDF("k", "v")
+        if (rng.nextBoolean()) t.mergeDelta(df, epoch)
+        else t.merge(df, epoch) // COW interleave: physically resolves buckets
+        current = current ++ upserts.toMap
+        expectedAt += (epoch -> current)
+      }
+
+      // head + every historical epoch resolve to the expected map
+      expectedAt.foreach { case (epoch, want) =>
+        val got = t.snapshot(spark, asOf = epoch)
+          .select("k", "v").as[(String, Long)].collect().toMap
+        assert(got == want, s"seed=$seed asOf=$epoch: $got != $want")
+      }
+      // compaction actually bounded the per-bucket file count
+      val perBucket = t.latestManifest().get.files.groupBy(_.bucket).map(_._2.size)
+      assert(perBucket.forall(_ <= 3), s"seed=$seed files per bucket: $perBucket")
+    }
+  }
+
+  test("schema evolution through delta commits: old rows null-fill, resolution holds") {
+    val t = new LakeTable(tmpDir("mor-evo") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    t.mergeDelta(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), epoch = 0L)
+    // epoch 1 widens the schema AND re-upserts one key
+    t.mergeDelta(Seq(("b", 3L, "x"), ("c", 4L, "y")).toDF("k", "v", "extra"), epoch = 1L)
+    val m = t.latestManifest().get
+    assert(m.schemaId == 2)
+    val snap = LakeTable.readSnapshot(t, spark).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(snap.toSeq == Seq(("a", 1L, None), ("b", 3L, Some("x")), ("c", 4L, Some("y"))))
+  }
+}
