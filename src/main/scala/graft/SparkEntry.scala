@@ -167,10 +167,12 @@ object SparkEntry {
           col("n_punct").cast("long").as("n_punct"),
           col("mean_token_len_x100"))),
 
-    // ---- language-ID heuristic ----
+    // ---- language-ID heuristic (native single-pass expression; the HOF
+    // reference formulation TextOps.langGuess is parity-tested in OpsSpec) ----
     "d03_langid" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), TextOps.langGuess(col("text")).as("guess"))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.LangIdExpr.langid(col("text")).as("guess"))
         .groupBy("lang", "guess").agg(count(lit(1)).as("n"))),
 
     // ---- document fingerprinting ----

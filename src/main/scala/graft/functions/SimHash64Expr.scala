@@ -96,13 +96,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SimHash64Expr.registration)
     ext.injectFunction(CosineSketchExpr.registration)
+    ext.injectFunction(LangIdExpr.registration)
   }
 }
 
 /** Direct registry hook for an already-built session (tests, Bench). */
 object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(SimHash64Expr.registration, CosineSketchExpr.registration).foreach {
+    Seq(SimHash64Expr.registration, CosineSketchExpr.registration,
+      LangIdExpr.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

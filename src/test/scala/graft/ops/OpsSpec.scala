@@ -161,4 +161,24 @@ class OpsSpec extends SparkSpec {
     assert(rows(1) == "de")
     assert(rows(2) == "und")
   }
+
+  test("native langid equals the HOF formulation on fixture + edge cases") {
+    import graft.functions.LangIdExpr
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(Seq(
+        "", " ", "  the  ", "THE AND OF", "la de est les", "el la de que",
+        "的 是 了", "the the the the", "der the le el 的",
+        "nicht nicht ist und das die der",
+      ).toDF("text"))
+    val diff = docs
+      .select(TextOps.langGuess($"text").as("hof"), LangIdExpr.langid($"text").as("nat"))
+      .filter($"hof" =!= $"nat")
+    assert(diff.isEmpty, s"divergent rows: ${diff.collect().mkString(", ")}")
+    // the SQL-registered function resolves too
+    graft.functions.GraftFunctions.register(spark)
+    val one = Seq("der hund und die katze ist nicht").toDF("text")
+      .selectExpr("graft_langid(text)").as[String].collect().head
+    assert(one == "de")
+  }
 }
