@@ -322,6 +322,15 @@ final class CdcEngine(
     } finally out.unpersist()
   }
 
+  /** Grow both tables' bucket counts (one epoch number each, state first) —
+    * run when the table outgrows its bucket granularity so epoch applies
+    * keep touching a small fraction of the data.
+    */
+  def rebucket(spark: SparkSession, newNumBuckets: Int, epoch: Long): Unit = {
+    state.rebucket(spark, newNumBuckets, epoch)
+    transfers.rebucket(spark, newNumBuckets, epoch)
+  }
+
   /** Replay the full change log from scratch into a fresh warehouse dir and
     * return that engine — used to assert byte-identical final state.
     */

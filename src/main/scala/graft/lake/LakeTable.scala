@@ -126,7 +126,17 @@ final class LakeTable(
     if (epochs.isEmpty) None else manifestAt(epochs.max)
   }
 
-  def bucketCol: Column = pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int")
+  /** The LIVE bucket count — manifests record it per epoch, so `rebucket`
+    * can grow it as the table grows (bucket granularity must scale with
+    * data for touched-fraction pruning to keep working).
+    */
+  def currentNumBuckets: Int = latestManifest().map(_.numBuckets).getOrElse(numBuckets)
+
+  def bucketCol: Column =
+    pmod(xxhash64(bucketCols.map(col): _*), lit(currentNumBuckets)).cast("int")
+
+  private def bucketColFor(n: Int): Column =
+    pmod(xxhash64(bucketCols.map(col): _*), lit(n)).cast("int")
 
   /** Salt for the merge shuffle: spreads one bucket's rows over several
     * tasks when a mega-key makes a bucket hot (north-star skew handling).
@@ -229,7 +239,7 @@ final class LakeTable(
         .withColumn("__epoch", lit(epoch))
         // merge shuffle is SALTED: a hot bucket (mega-key skew) spreads over
         // `saltFactor` tasks, each writing its own file into the bucket dir
-        .repartition(math.min(numBuckets, touched.size) * saltFactor,
+        .repartition(math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size) * saltFactor,
           col("__bucket"), saltCol)
         .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
       mergedRows.write.mode(SaveMode.Overwrite)
@@ -252,7 +262,7 @@ final class LakeTable(
       schemaId = schemaId,
       schemaJson = mergedSchema.json,
       keyColumns = keyColumns,
-      numBuckets = numBuckets,
+      numBuckets = parent.map(_.numBuckets).getOrElse(numBuckets),
       files = files,
       metadata = metadata,
       lineage = lineage ++ Map("totalRows" -> files.map(_.rows).sum),
@@ -319,7 +329,7 @@ final class LakeTable(
       if (touched.isEmpty) Map.empty
       else {
         withBucket
-          .repartition(math.max(1, math.min(numBuckets, touched.size)) * saltFactor,
+          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * saltFactor,
             col("__bucket"), saltCol)
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
@@ -346,7 +356,7 @@ final class LakeTable(
           .parquet(cInput.map(f => s"$root/${f.path}"): _*))
         .withColumn("__bucket", bucketCol)
       resolved
-        .repartition(math.max(1, math.min(numBuckets, overfull.size)) * saltFactor,
+        .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), overfull.size)) * saltFactor,
           col("__bucket"), saltCol)
         .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
@@ -366,7 +376,7 @@ final class LakeTable(
       schemaId = schemaId,
       schemaJson = mergedSchema.json,
       keyColumns = keyColumns,
-      numBuckets = numBuckets,
+      numBuckets = parent.map(_.numBuckets).getOrElse(numBuckets),
       files = files,
       metadata = metadata,
       // totalRows is PHYSICAL rows for a merge-on-read table (superseded
@@ -425,7 +435,7 @@ final class LakeTable(
       if (touched.isEmpty) Map.empty
       else {
         fresh
-          .repartition(math.max(1, math.min(numBuckets, touched.size)) * saltFactor,
+          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * saltFactor,
             col("__bucket"), saltCol)
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
@@ -438,14 +448,42 @@ final class LakeTable(
     val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
       FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
     }
-    val files = (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).sortBy(_.bucket)
+    var files = (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).sortBy(_.bucket)
+
+    // append-only tables accumulate one file set per touching epoch per
+    // bucket — after many epochs a bucket read would open thousands of
+    // files. Compact over-threshold buckets by concatenation (rows are
+    // unique by key already — no resolution needed).
+    val overfull = files.groupBy(_.bucket).filter(_._2.size > compactThreshold).keySet
+    if (overfull.nonEmpty) {
+      val cDirRel = f"data/e$epoch%012dc"
+      val cInput = files.filter(f => overfull.contains(f.bucket))
+      val rewritten = spark.read
+        .schema(DataType.fromJson(
+          parent.map(_.schemaJson).getOrElse(upserts.schema.json))
+          .asInstanceOf[StructType])
+        .parquet(cInput.map(f => s"$root/${f.path}"): _*)
+        .withColumn("__bucket", bucketCol)
+      rewritten
+        .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), overfull.size)) * saltFactor,
+          col("__bucket"), saltCol)
+        .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(s"$root/$cDirRel")
+      val cCounts = cInput.groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.rows).sum }
+      files = (files.filterNot(f => overfull.contains(f.bucket)) ++
+        cCounts.toSeq.sortBy(_._1).map { case (b, rows) =>
+          FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch)
+        }).sortBy(_.bucket)
+    }
+
     val manifest = Manifest(
       epoch = epoch,
       parentEpoch = parent.map(_.epoch).getOrElse(-1L),
       schemaId = parent.map(_.schemaId).getOrElse(1),
       schemaJson = upserts.schema.json,
       keyColumns = keyColumns,
-      numBuckets = numBuckets,
+      numBuckets = parent.map(_.numBuckets).getOrElse(numBuckets),
       files = files,
       metadata = metadata,
       lineage = lineage ++ Map("totalRows" -> files.map(_.rows).sum),
@@ -461,6 +499,59 @@ final class LakeTable(
     * crashed commits are swept first (single writer per table; a duplicate
     * committer of the SAME epoch writes its own distinctly-named tmp).
     */
+  /** Bucket-count evolution — the maintenance operation for growing tables:
+    * pruning works because a batch touches a small FRACTION of buckets, so
+    * the bucket count must grow with the data (thousands at 100 TB, not the
+    * handful a small table starts with). One full rewrite committed as a
+    * normal epoch (exactly-once semantics apply); merge-on-read tables are
+    * resolved during the rewrite, so the new layout starts compact. Later
+    * commits and reads pick up the new count from the manifest
+    * (`currentNumBuckets`). Bucket-pruned reads always target the HEAD
+    * manifest; time travel across a rebucket returns complete (unpruned)
+    * snapshots of the old layout.
+    */
+  def rebucket(spark: SparkSession, newNumBuckets: Int, epoch: Long): Manifest = {
+    if (Files.exists(manifestPath(epoch)))
+      return manifestAt(epoch).get
+    val parent = latestManifest().getOrElse(
+      throw new IllegalStateException("rebucket requires an existing table"))
+    require(parent.epoch < epoch, s"epoch $epoch not after ${parent.epoch}")
+
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val withEpochSchema =
+      if (mergeOnRead) schema.add(StructField("__epoch", LongType, nullable = true))
+      else schema
+    val all = spark.read.schema(withEpochSchema)
+      .parquet(parent.files.map(f => s"$root/${f.path}"): _*)
+    val resolved = if (mergeOnRead) resolveLatest(all) else all
+    val rewritten = resolved.withColumn("__bucket", bucketColFor(newNumBuckets))
+
+    val dirRel = f"data/e$epoch%012dr"
+    rewritten
+      .repartition(newNumBuckets, col("__bucket"), saltCol)
+      .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$root/$dirRel")
+    val counts = rewritten.groupBy("__bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val files = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
+      FileEntry(s"$dirRel/__bucket=$b", b, rows, epoch)
+    }
+    val manifest = Manifest(
+      epoch = epoch,
+      parentEpoch = parent.epoch,
+      schemaId = parent.schemaId,
+      schemaJson = parent.schemaJson,
+      keyColumns = keyColumns,
+      numBuckets = newNumBuckets,
+      files = files,
+      metadata = parent.metadata + ("rebucketed-from" -> parent.numBuckets.toString),
+      lineage = Map("totalRows" -> files.map(_.rows).sum),
+    )
+    writeManifestAtomically(manifest)
+    manifest
+  }
+
   private def writeManifestAtomically(m: Manifest): Unit = {
     Files.createDirectories(manifestDir)
     listNames(manifestDir).filter(_.endsWith(".tmp")).foreach { stale =>

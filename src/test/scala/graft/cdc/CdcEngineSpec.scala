@@ -183,6 +183,25 @@ class CdcEngineSpec extends SparkSpec {
     assert(rows == Seq(("hot", 9L)))
   }
 
+  test("rebucket mid-chain: applies continue correctly on the grown layout") {
+    val eng = new CdcEngine(tmpDir("rebucket"), numBuckets = 4, cutoffMicros = 14 * day)
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L)
+    eng.rebucket(spark, newNumBuckets = 16, epoch = 2L)
+    assert(eng.transfers.currentNumBuckets == 16)
+    assert(eng.state.currentNumBuckets == 16)
+    // the chain continues against the new bucketing
+    eng.applyEpoch(spark, log.filter(_.epoch == 2L), 3L)
+    eng.applyEpoch(spark, log.filter(_.epoch == 3L), 4L)
+    val got = shaMap(eng.currentTransfers(spark))
+    val full = shaMap(CdcPipeline.withRowSha(
+      CdcPipeline.classify(log, 14 * day).toDF()))
+    assert(got == full, "rebucketing must not change the resolved table")
+    // new commits landed in buckets of the grown range
+    val lastFiles = eng.transfers.latestManifest().get.files
+    assert(lastFiles.exists(_.bucket >= 4), s"new layout unused: $lastFiles")
+  }
+
   test("observability counters land in the transfers manifest lineage") {
     import graft.classifier.{Interactions, SpineMessage}
     val t0 = 1577836800000000L

@@ -42,6 +42,21 @@ class LakeMorSpec extends SparkSpec {
     }
   }
 
+  test("append-only compaction bounds file counts and preserves every row") {
+    val t = new LakeTable(tmpDir("append-compact") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), compactThreshold = 3)
+    (0L until 10L).foreach { e =>
+      t.appendNew(Seq((s"k$e", e)).toDF("k", "v"), epoch = e)
+    }
+    val m = t.latestManifest().get
+    val perBucket = m.files.groupBy(_.bucket).map(_._2.size)
+    assert(perBucket.forall(_ <= 3 + 1),
+      s"append-only buckets must compact: ${m.files}")
+    val rows = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
+    assert(rows == (0L until 10L).map(e => (s"k$e", e)).toSet)
+    assert(m.lineage("totalRows") == 10L)
+  }
+
   test("schema evolution through delta commits: old rows null-fill, resolution holds") {
     val t = new LakeTable(tmpDir("mor-evo") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), mergeOnRead = true)
