@@ -97,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHash64Expr.registration)
     ext.injectFunction(CosineSketchExpr.registration)
     ext.injectFunction(LangIdExpr.registration)
+    ext.injectFunction(CosineSimExpr.registration)
   }
 }
 
@@ -104,7 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(SimHash64Expr.registration, CosineSketchExpr.registration,
-      LangIdExpr.registration).foreach {
+      LangIdExpr.registration, CosineSimExpr.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -24,7 +24,16 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Reference (composed-functions) formulation — interpreted HOFs; kept as
+    * the parity baseline for the native expression.
+    */
+  def cosineRef(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native fused expression (one pass, codegen'd);
+    * bit-compatible with cosineRef (see CosineSimExpr).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr.cosineSim(a, b)
 
   /** Brute-force cosine top-k. `queries` must be small (broadcast side). */
   def bruteForceTopK(

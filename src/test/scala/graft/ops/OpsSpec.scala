@@ -138,6 +138,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(sims(1)) < 1e-9)
   }
 
+  test("native cosine is bit-identical to the HOF formulation on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"vec_id".as("i"), $"embedding".as("a"))
+      .join(emb.select($"vec_id".as("j"), $"embedding".as("b")),
+        $"i" < $"j" && $"j" < 40)
+    val diff = pairs.select(
+        VectorOps.cosine($"a", $"b").as("nat"),
+        VectorOps.cosineRef($"a", $"b").as("hof"))
+      .filter($"nat" =!= $"hof") // exact equality — same float op order
+    assert(diff.isEmpty, s"divergent: ${diff.take(3).mkString}")
+    // null poisoning parity: length mismatch → null both ways
+    val odd = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val r = odd.select(VectorOps.cosine($"a", $"b"),
+      VectorOps.cosineRef($"a", $"b")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("multimodal features are the deterministic function of the bytes") {
     val docs = Seq((1L, "abcd" * 600)).toDF("doc_id", "text") // 2400 bytes
       .withColumn("payload", encode(col("text"), "UTF-8"))
