@@ -413,6 +413,9 @@ final class LakeTable(
       "appendNew does not evolve schema; use merge() for schema changes")
 
     val withBucket = upserts.withColumn("__bucket", bucketCol)
+      // row-level commit stamp: survives compaction, so changesSince stays
+      // exact for append-only tables too
+      .withColumn("__epoch", lit(epoch))
     val touched = touchedBuckets.getOrElse(
       withBucket.select("__bucket").distinct().collect().map(_.getInt(0)).toSet)
 
@@ -458,10 +461,11 @@ final class LakeTable(
     if (overfull.nonEmpty) {
       val cDirRel = f"data/e$epoch%012dc"
       val cInput = files.filter(f => overfull.contains(f.bucket))
+      val baseSchema = DataType.fromJson(
+        parent.map(_.schemaJson).getOrElse(upserts.schema.json)).asInstanceOf[StructType]
       val rewritten = spark.read
-        .schema(DataType.fromJson(
-          parent.map(_.schemaJson).getOrElse(upserts.schema.json))
-          .asInstanceOf[StructType])
+        // keep the per-row commit stamp through the rewrite
+        .schema(baseSchema.add(StructField("__epoch", LongType, nullable = true)))
         .parquet(cInput.map(f => s"$root/${f.path}"): _*)
         .withColumn("__bucket", bucketCol)
       rewritten
@@ -499,6 +503,33 @@ final class LakeTable(
     * crashed commits are swept first (single writer per table; a duplicate
     * committer of the SAME epoch writes its own distinctly-named tmp).
     */
+  /** Incremental (CDC) read: every row VERSION committed in
+    * `(sinceEpoch, asOf]` — the change stream a downstream consumer tails
+    * instead of re-reading snapshots. File pruning first (a file written at
+    * epoch e only holds rows stamped ≤ e, so `epochAdded > since` is a
+    * correct superset even across compaction rewrites), then the exact
+    * row-level `__epoch` filter, which parquet min/max stats also prune.
+    * Rows from files predating the per-row stamp (legacy) read as null and
+    * are excluded. The result carries a `_commit_epoch` column.
+    */
+  def changesSince(spark: SparkSession, sinceEpoch: Long,
+                   asOf: Long = Long.MaxValue): DataFrame = {
+    manifestAsOf(asOf) match {
+      case None => spark.emptyDataFrame
+      case Some(m) =>
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val withEpoch = schema.add(StructField("__epoch", LongType, nullable = true))
+        val candidates = m.files.filter(_.epochAdded > sinceEpoch)
+        if (candidates.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.fields :+ StructField("_commit_epoch", LongType)))
+        else spark.read.schema(withEpoch)
+          .parquet(candidates.map(f => s"$root/${f.path}"): _*)
+          .filter(col("__epoch") > sinceEpoch && col("__epoch") <= asOf)
+          .withColumnRenamed("__epoch", "_commit_epoch")
+    }
+  }
+
   /** Bucket-count evolution — the maintenance operation for growing tables:
     * pruning works because a batch touches a small FRACTION of buckets, so
     * the bucket count must grow with the data (thousands at 100 TB, not the

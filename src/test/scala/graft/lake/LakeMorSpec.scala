@@ -42,6 +42,31 @@ class LakeMorSpec extends SparkSpec {
     }
   }
 
+  test("changesSince returns exactly the row versions committed in the range") {
+    val t = new LakeTable(tmpDir("changes") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2)
+    t.mergeDelta(Seq(("a", 0L), ("b", 0L)).toDF("k", "v"), epoch = 0L)
+    t.mergeDelta(Seq(("a", 1L)).toDF("k", "v"), epoch = 1L)
+    t.mergeDelta(Seq(("b", 2L), ("c", 2L)).toDF("k", "v"), epoch = 2L)
+    t.mergeDelta(Seq(("a", 3L)).toDF("k", "v"), epoch = 3L) // forces compaction too
+
+    val changes = t.changesSince(spark, sinceEpoch = 0L)
+      .select("k", "v", "_commit_epoch").as[(String, Long, Long)].collect().toSet
+    assert(changes == Set(("a", 1L, 1L), ("b", 2L, 2L), ("c", 2L, 2L), ("a", 3L, 3L)),
+      s"got $changes")
+    // bounded range
+    val upTo2 = t.changesSince(spark, sinceEpoch = 1L, asOf = 2L)
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(upTo2 == Set(("b", 2L), ("c", 2L)))
+    // append-only tables stream too (compaction keeps per-row stamps)
+    val app = new LakeTable(tmpDir("changes-app") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), compactThreshold = 2)
+    (0L until 6L).foreach(e => app.appendNew(Seq((s"k$e", e)).toDF("k", "v"), e))
+    val appChanges = app.changesSince(spark, sinceEpoch = 3L)
+      .select("k").as[String].collect().toSet
+    assert(appChanges == Set("k4", "k5"), s"got $appChanges")
+  }
+
   test("append-only compaction bounds file counts and preserves every row") {
     val t = new LakeTable(tmpDir("append-compact") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), compactThreshold = 3)
