@@ -193,6 +193,15 @@ object SparkEntry {
         .select(col("a"), col("b"),
           expr("CAST(inter AS BIGINT) * 1000 div uni").as("jaccard_x1000"))),
 
+    // ---- document fingerprinting via ROLLING hash: winnowing (MOSS) —
+    // k-gram Rabin–Karp rolling hash + per-window minima; the native
+    // expression's polynomial equals naive per-gram evaluation, so the
+    // DuckDB oracle replicates it relationally ----
+    "d07_winnow_fp" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        explode(graft.functions.WinnowExpr.winnow(col("text"), 5, 4)).as("fp"))
+        .distinct()),
+
     // ---- near-dup: SimHash via the native Catalyst expression ----
     "d06_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -442,6 +451,33 @@ object SparkEntry {
          ) GROUP BY lang, guess""",
     "d04_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256 FROM documents""",
+    // naive per-gram polynomial == the rolling hash's value; winnow = min
+    // per window of 4 gram hashes, distinct per doc
+    "d07_winnow_fp" ->
+      """WITH chars AS (
+           SELECT doc_id, generate_subscripts(cps, 1) AS i, unnest(cps) AS cp
+           FROM (SELECT doc_id,
+                   list_transform(regexp_extract_all(text, '(?s).'),
+                                  x -> CAST(unicode(x) AS BIGINT)) AS cps
+                 FROM documents)
+         ),
+         grams AS (
+           SELECT a.doc_id, a.i AS gi,
+             ((((((((a.cp * 257 + b.cp) % 2147483647) * 257 + c.cp) % 2147483647)
+               * 257 + d.cp) % 2147483647) * 257 + e.cp) % 2147483647) AS h
+           FROM chars a JOIN chars b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                        JOIN chars c ON a.doc_id=c.doc_id AND c.i=a.i+2
+                        JOIN chars d ON a.doc_id=d.doc_id AND d.i=a.i+3
+                        JOIN chars e ON a.doc_id=e.doc_id AND e.i=a.i+4
+         ),
+         lastg AS (SELECT doc_id, max(gi) AS mg FROM grams GROUP BY doc_id),
+         wins AS (
+           SELECT w.doc_id, w.gi, min(g.h) AS sel_h
+           FROM grams w JOIN lastg l ON l.doc_id = w.doc_id AND w.gi <= l.mg - 3
+                JOIN grams g ON g.doc_id = w.doc_id AND g.gi BETWEEN w.gi AND w.gi + 3
+           GROUP BY w.doc_id, w.gi
+         )
+         SELECT DISTINCT doc_id, sel_h AS fp FROM wins""",
     // brute-force 3-shingle Jaccard ≥ 0.5 over all pairs; integer thousandths
     "d05_minhash_dups" ->
       """WITH sh AS (

@@ -98,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSketchExpr.registration)
     ext.injectFunction(LangIdExpr.registration)
     ext.injectFunction(CosineSimExpr.registration)
+    ext.injectFunction(WinnowExpr.registration)
   }
 }
 
@@ -105,7 +106,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(SimHash64Expr.registration, CosineSketchExpr.registration,
-      LangIdExpr.registration, CosineSimExpr.registration).foreach {
+      LangIdExpr.registration, CosineSimExpr.registration,
+      WinnowExpr.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

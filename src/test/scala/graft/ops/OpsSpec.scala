@@ -155,6 +155,34 @@ class OpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("winnowing fingerprints satisfy the shared-substring guarantee") {
+    import graft.functions.WinnowExpr
+    // any shared substring of ≥ w+k−1 = 8 chars must share a fingerprint
+    val common = "a very distinctive shared passage of text"
+    val docs = Seq(
+      (1L, s"prefix one $common and a different tail"),
+      (2L, s"$common with another ending entirely"),
+      (3L, "totally unrelated content with nothing in common at all"),
+    ).toDF("doc_id", "text")
+    val fps = docs.select($"doc_id", WinnowExpr.winnow($"text", 5, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty,
+      "shared passage must share a fingerprint")
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty,
+      "unrelated docs should not collide on this fixture")
+    // arrays are sorted, distinct, and deterministic
+    assert(fps(1L) == fps(1L).distinct.sorted)
+    // short texts (< k+w−1 code points) fingerprint to empty, not error
+    val short = Seq((9L, "abcdefg")).toDF("doc_id", "text")
+      .select(WinnowExpr.winnow($"text", 5, 4)).as[Seq[Long]].collect().head
+    assert(short.isEmpty)
+    // SQL registration + interpreted path agree with codegen
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = docs.selectExpr("doc_id", "graft_winnow(text, 5, 4) AS fps")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql == fps)
+  }
+
   test("multimodal features are the deterministic function of the bytes") {
     val docs = Seq((1L, "abcd" * 600)).toDF("doc_id", "text") // 2400 bytes
       .withColumn("payload", encode(col("text"), "UTF-8"))
