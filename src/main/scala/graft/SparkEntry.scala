@@ -165,6 +165,8 @@ object SparkEntry {
           col("n_chars_q").cast("long").as("n_chars_q"),
           col("n_digits").cast("long").as("n_digits"),
           col("n_punct").cast("long").as("n_punct"),
+          col("n_stopwords").cast("long").as("n_stopwords"),
+          col("n_subwords").cast("long").as("n_subwords"),
           col("mean_token_len_x100"))),
 
     // ---- language-ID heuristic (native single-pass expression; the HOF
@@ -206,6 +208,13 @@ object SparkEntry {
     "d06_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         graft.functions.SimHash64Expr.simhash64(col("text")).as("simhash"))),
+
+    // ---- near-dup: SimHash Hamming-LSH pair join (deterministic recall by
+    // pigeonhole; xxhash64-based sketch ⇒ rows-only; semantics pinned by
+    // the planted-pair OpsSpec test) ----
+    "d08_simhash_dups" -> ((s, d) =>
+      TextOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming"))),
 
     // ---- similarity: brute-force cosine top-k (baseline ANN). Oracle-able:
     // adjacent top-6 similarity gaps on the fixture are ≥ 2e-4, far above
@@ -427,6 +436,10 @@ object SparkEntry {
            CAST(length(text) AS BIGINT) AS n_chars_q,
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+             x -> list_contains(['the','and','of','to','a','in','is','it','for','on','with'], x))) AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), w -> len(w) > 0))
+              + len(list_filter(string_split_regex(text, '[A-Za-z0-9 ]+'), w -> len(w) > 0)) AS BIGINT) AS n_subwords,
            CAST(CASE WHEN len(string_split(text, ' ')) > 0 THEN
              (length(text) - (len(string_split(text, ' ')) - 1)) * 100 // len(string_split(text, ' '))
              ELSE 0 END AS BIGINT) AS mean_token_len_x100

@@ -41,17 +41,25 @@ object TextOps {
     size(filter(split(text, "[^A-Za-z0-9]+"), w => length(w) > 0)) +
       size(filter(split(text, "[A-Za-z0-9 ]+"), w => length(w) > 0))
 
-  /** Quality features: length, token stats, punctuation/digit/upper ratios
-    * as exact integer counts (ratios left to the caller to avoid float
-    * nondeterminism across engines).
+  /** English stopwords for the quality-scoring stopword ratio. */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on", "with")
+
+  /** Quality features: length, token stats, punctuation/digit/upper/stopword
+    * counts and a BPE-ish subword count, as exact integer counts (ratios
+    * left to the caller to avoid float nondeterminism across engines).
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val sw = array(stopwords.map(lit): _*)
     df.withColumn("n_chars_q", length(t))
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_digits", length(t) - length(regexp_replace(t, "[0-9]", "")))
       .withColumn("n_punct", length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", "")))
       .withColumn("n_upper", length(t) - length(regexp_replace(t, "[A-Z]", "")))
+      .withColumn("n_stopwords",
+        size(filter(tokens(lower(t)), x => array_contains(sw, x))))
+      .withColumn("n_subwords", subwordCount(t))
       .withColumn("mean_token_len_x100",
         // floor division (matches SQL `//`); Spark `/` is double division and
         // a straight cast would truncate where DuckDB's CAST rounds
@@ -196,4 +204,38 @@ object TextOps {
 
   /** Hamming distance between two simhashes — bit_count(xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs via Hamming-LSH banding: the 64-bit
+    * simhash splits into 8 byte-bands and candidates share at least one
+    * band. DETERMINISTIC recall guarantee (pigeonhole): a pair within
+    * `maxHamming ≤ 7` differing bits can spoil at most 7 of the 8 bands,
+    * so every true pair is a candidate. Exact verify = bit_count(xor).
+    * Shuffles carry (id, simhash, band, byte) — 4 small fixed-width
+    * columns, never documents; bucket space is 8 × 2^8 with real corpora
+    * spreading across byte values (raise to 16-bit bands via `bandBits`
+    * for billion-doc corpora).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bandBits: Int = 8): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val bands = 64 / bandBits
+    require(maxHamming < bands, s"pigeonhole needs maxHamming < $bands bands")
+    val mask = (1L << bandBits) - 1
+    val s = df.select(col(idCol).as("id"),
+      graft.functions.SimHash64Expr.simhash64(col(textCol)).as("h"))
+    val banded = s.select(col("id"), col("h"),
+      posexplode(array((0 until bands).map(b =>
+        call_function("shiftright", col("h"), lit(b * bandBits)).bitwiseAND(lit(mask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bval") === col("r.bval") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.h").as("ha"), col("r.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", hamming(col("ha"), col("hb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
 }

@@ -32,6 +32,24 @@ class OpsSpec extends SparkSpec {
       s"unrelated docs must not pair: $pairs")
   }
 
+  test("simhash Hamming-LSH join finds planted near-dups (pigeonhole recall)") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("delta", "changed")), // near-dup of 0
+      (2L, base),                             // exact dup of 0
+      (3L, (1 to 20).map(i => s"unrelated$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.simhashNearDups(docs, "doc_id", "text", maxHamming = 8 - 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), s"exact dup (hamming 0) must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+    // exact dup hamming is 0
+    val h = TextOps.simhashNearDups(docs, "doc_id", "text", maxHamming = 7)
+      .filter($"a" === 0L && $"b" === 2L).select("hamming").as[Int].collect()
+    assert(h.toSeq == Seq(0))
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val h = Seq(base, base.replace("delta", "changed"),
         (1 to 20).map(i => s"word$i").mkString(" "))
