@@ -237,6 +237,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ---- similarity: product-quantized top-k (memory-bound scale path —
+    // 32× compression, ADC lookup scoring; approximate ⇒ rows-only, recall
+    // asserted in OpsSpec) ----
+    "e04_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = VectorOps.trainPq(emb, "vec_id", "embedding", m = 8)
+      val enc = VectorOps.pqEncode(emb, "embedding", model)
+      VectorOps.pqTopK(enc, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        model, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // ---- embedding near-dup pairs (banded sign-sketch LSH + exact verify).
     // The fixture has no natural ≥0.95 pairs (max pairwise cosine 0.51), so
     // the corpus is augmented with deterministic planted near-duplicates

@@ -62,17 +62,27 @@ object VectorOps {
 
   def trainIvf(corpus: DataFrame, idCol: String, vecCol: String, numCells: Int,
                sampleSize: Int = 4096, iters: Int = 8): IvfModel = {
-    // deterministic uniform sample: the sampleSize lowest xxhash64(id) rows
-    val sample = corpus
-      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+    val sample = deterministicSample(corpus, idCol, vecCol, sampleSize)
+      .map(normalize).filter(_ != null)
+    require(sample.nonEmpty, "trainIvf: empty corpus")
+    IvfModel(kmeans(sample, math.min(numCells, sample.length), iters, spherical = true))
+  }
+
+  /** Deterministic uniform sample: the sampleSize lowest xxhash64(id) rows. */
+  private def deterministicSample(corpus: DataFrame, idCol: String,
+                                  vecCol: String, sampleSize: Int): Array[Array[Float]] =
+    corpus.select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h").asc).limit(sampleSize)
       .select("v").collect()
       .map(_.getSeq[Float](0).toArray)
-      .map(normalize).filter(_ != null)
-    require(sample.nonEmpty, "trainIvf: empty corpus")
-    val k = math.min(numCells, sample.length)
 
-    // deterministic LCG (the spec forbids wall-clock/java.util.Random seeds)
+  /** Deterministic k-means: k-means++ seeding by an LCG (the spec forbids
+    * wall-clock/java.util.Random seeds) + Lloyd iterations. `spherical`
+    * renormalizes recentered means (cosine clustering); empty cells keep
+    * their previous centroid.
+    */
+  private def kmeans(sample: Array[Array[Float]], k: Int, iters: Int,
+                     spherical: Boolean): Array[Array[Float]] = {
     var rng = 0x5DEECE66DL
     def nextDouble(): Double = {
       rng = rng * 6364136223846793005L + 1442695040888963407L
@@ -83,7 +93,6 @@ object VectorOps {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding: D²-weighted picks
     val centers = new Array[Array[Float]](k)
     centers(0) = sample((nextDouble() * sample.length).toInt)
     val d2 = sample.map(dist2(_, centers(0)))
@@ -102,9 +111,6 @@ object VectorOps {
       }
       ci += 1
     }
-    // Lloyd on the unit sphere: assign by min distance (= max cosine for
-    // unit vectors), recenter to the normalized mean; empty cells keep
-    // their previous centroid
     val dim = sample.head.length
     (0 until iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](dim))
@@ -126,13 +132,15 @@ object VectorOps {
           val m = new Array[Float](dim)
           var i = 0
           while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
-          val n = normalize(m)
-          if (n != null) centers(c) = n
+          if (spherical) {
+            val n = normalize(m)
+            if (n != null) centers(c) = n
+          } else centers(c) = m
         }
         c += 1
       }
     }
-    IvfModel(centers)
+    centers
   }
 
   private def normalize(v: Array[Float]): Array[Float] = {
@@ -172,6 +180,106 @@ object VectorOps {
     val scored = c.join(broadcast(q),
         col("cell") === col("qcell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Product quantization — the MEMORY-bound scale path: at 100 TB the raw
+    * float vectors don't fit cluster RAM; PQ compresses each to `m` bytes
+    * (32× at d=64, m=8) and queries score rows with m table lookups (ADC).
+    * Codebooks come from deterministic per-subspace k-means on a bounded
+    * hash-chosen sample; everything downstream is codegen'd expressions.
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, codes: Int = 256,
+              sampleSize: Int = 4096, iters: Int = 8): PqModel = {
+    val sample = deterministicSample(corpus, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      kmeans(sub, math.min(codes, sub.length), iters, spherical = false)
+    }.toArray
+    PqModel(books)
+  }
+
+  /** Corpus + `pq` codes column (binary, m bytes) — a narrow codegen'd map. */
+  def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    corpus.withColumn("pq",
+      graft.functions.PqEncodeExpr.pqEncode(col(vecCol), model.codebooks))
+
+  /** Approximate cosine top-k over PQ codes (ADC): per query, a lookup
+    * table of subspace dot products rides the broadcast join; per corpus
+    * row the score is m lookups + a division by the reconstructed norm
+    * (query-independent, also an ADC lookup). The raw vectors are never
+    * read at query time.
+    */
+  def pqTopK(encodedCorpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, model: PqModel, k: Int): DataFrame = {
+    val m = model.m
+    val dsub = model.dsub
+    // query-side LUTs are driver-built: Q × m × 256 subspace dots
+    val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val qid = r.get(0)
+      val qv = r.getSeq[Float](1).toArray
+      val lut = new Array[Float](m * 256)
+      var j = 0
+      while (j < m) {
+        val cb = model.codebooks(j)
+        var c = 0
+        while (c < cb.length) {
+          var s = 0.0f
+          var i = 0
+          while (i < dsub) { s += qv(j * dsub + i) * cb(c)(i); i += 1 }
+          lut(j * 256 + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      (qid, qv, lut.toSeq)
+    }
+    val spark = encodedCorpus.sparkSession
+    import spark.implicits._
+    val qDf = qRows.toSeq.map { case (qid, _, lut) => (qid.toString, lut) }
+      .toDF("__qid_str", "__lut")
+    val q = queries.select(col(idCol).as("query_id"))
+      .withColumn("__qid_str", col("query_id").cast("string"))
+      .join(broadcast(qDf), Seq("__qid_str")).drop("__qid_str")
+    // |x̂|² lut is query-independent: norms of the codebook entries
+    val normLut = {
+      val a = new Array[Float](m * 256)
+      var j = 0
+      while (j < m) {
+        val cb = model.codebooks(j)
+        var c = 0
+        while (c < cb.length) {
+          var s = 0.0f
+          var i = 0
+          while (i < dsub) { s += cb(c)(i) * cb(c)(i); i += 1 }
+          a(j * 256 + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      a.toSeq
+    }
+    val scored = encodedCorpus.select(col(idCol).as("neighbor_id"), col("pq"))
+      .withColumn("__xnorm",
+        sqrt(graft.functions.AdcLookupExpr.adcLookup(col("pq"),
+          lit(normLut.toArray).cast("array<float>"))))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.functions.AdcLookupExpr.adcLookup(col("pq"), col("__lut")) / col("__xnorm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

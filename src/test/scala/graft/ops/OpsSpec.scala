@@ -112,6 +112,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, f"IVF recall $recall%.3f < 0.9")
   }
 
+  test("PQ top-k recall ≥ 0.8 vs brute force on planted clusters") {
+    def lcg(seed: Long): Iterator[Double] = Iterator.iterate(
+      seed * 6364136223846793005L + 1442695040888963407L)(
+      s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 11).toDouble / (1L << 53).toDouble)
+    val dim = 32
+    val centers = (0 until 8).map { c =>
+      val r = lcg(c + 1); Array.fill(dim)((r.next() - 0.5).toFloat)
+    }
+    val points = (0 until 8).flatMap { c =>
+      val r = lcg(1000 + c)
+      (0 until 40).map { i =>
+        (c * 1000L + i, centers(c).map(x => (x + (r.next() - 0.5) * 0.05).toFloat).toSeq)
+      }
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val model = VectorOps.trainPq(corpus, "vec_id", "embedding", m = 8, sampleSize = 320)
+    val enc = VectorOps.pqEncode(corpus, "embedding", model)
+    val queries = corpus.filter($"vec_id".isin(0L, 1000L, 2000L, 3000L))
+    val k = 10
+    val pq = VectorOps.pqTopK(enc, queries, "vec_id", "embedding", model, k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.8, f"PQ recall $recall%.3f < 0.8")
+  }
+
   test("cosineNearDups finds planted near-identical vectors and skips the rest") {
     // 40 quasi-random base vectors (deterministic LCG), plus near-duplicates
     // of the first 5 (one coordinate nudged) — pairs (i, 1000+i) must be
