@@ -183,6 +183,45 @@ class CdcEngineSpec extends SparkSpec {
     assert(rows == Seq(("hot", 9L)))
   }
 
+  test("crash between the state commit and the transfers commit recovers exactly-once") {
+    // simulate: epoch 1 commits the state table, then the process dies
+    // before the transfers commit. Recovery = re-running applyEpoch(1):
+    // the state commit is skipped (manifest exists), transfers recompute
+    // deterministically from the identical durable state.
+    val dir = tmpDir("two-phase-crash")
+    val eng = new CdcEngine(dir, numBuckets = 8, cutoffMicros = 14 * day)
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+
+    // manual "half-applied" epoch 1: commit ONLY the state table the same
+    // way applyEpoch would (re-stamped fresh events), then "crash"
+    val spark2 = spark
+    import org.apache.spark.sql.functions.{col => c, lit => l, sha2 => sh}
+    val stamped = log.filter(_.epoch == 1L).withColumn("epoch", l(1L)).as[ChangeEvent]
+    val touched = stamped.toDF().agg(
+      org.apache.spark.sql.functions.collect_set(eng.state.bucketCol))
+      .collect()(0).getSeq[Int](0).toSet
+    val prior = eng.state.snapshot(spark2, buckets = Some(touched))
+    val eventCols = spark2.emptyDataset[ChangeEvent].columns
+    val priorEv = prior.select(eventCols.map(c): _*).as[ChangeEvent]
+    val cutoffLocal = 14 * day // local copy: the lambda must not capture the spec
+    val fresh = priorEv.union(stamped)
+      .groupByKey(_.repo)
+      .flatMapGroups((r, it) => CdcPipeline.applyGroup(r, it, cutoffLocal, 1L))
+      .filter(_.event.isDefined).map(_.event.get).toDF()
+      .withColumn("content_sha256", sh(c("content"), 256))
+    eng.state.appendNew(fresh, 1L, touchedBuckets = Some(touched), assumeNew = true)
+    assert(eng.state.latestManifest().get.epoch == 1L)
+    assert(eng.transfers.latestManifest().get.epoch == 0L, "transfers must lag (crashed)")
+
+    // recovery: the normal apply path finishes the epoch
+    eng.applyEpoch(spark2, log.filter(_.epoch == 1L), 1L)
+    assert(eng.transfers.latestManifest().get.epoch == 1L)
+    val got = shaMap(eng.currentTransfers(spark2))
+    val want = shaMap(CdcPipeline.withRowSha(CdcPipeline.classify(
+      log.filter(_.epoch <= 1L), 14 * day).toDF()))
+    assert(got == want, "recovered state must equal the clean two-epoch run")
+  }
+
   test("rebucket mid-chain: applies continue correctly on the grown layout") {
     val eng = new CdcEngine(tmpDir("rebucket"), numBuckets = 4, cutoffMicros = 14 * day)
     eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
