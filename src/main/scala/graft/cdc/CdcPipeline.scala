@@ -285,6 +285,30 @@ final class CdcEngine(
       val freshEvents = out.filter(_.event.isDefined).map(_.event.get).toDF()
         .withColumn("content_sha256", sha2(col("content"), 256))
 
+      // ONE summary job over the cached fold output: per-bucket row counts
+      // for BOTH table commits plus the observability counter sums —
+      // replaces three separate aggregation jobs per epoch (per-epoch
+      // barriers are the fixed cost that dominates small batches)
+      val summary = out.toDF().select(
+          coalesce(col("transfer.repo"), col("event.repo")).as("repo"),
+          col("event").isNotNull.cast("long").as("isE"),
+          col("transfer").isNotNull.cast("long").as("isT"),
+          coalesce(col("transfer.danglingAcks"), lit(0L)).as("da"),
+          coalesce(col("transfer.unknownPurpose"), lit(0L)).as("up"),
+          coalesce(col("transfer.negativeSla"), lit(0L)).as("ns"),
+          coalesce(col("transfer.duplicatesDropped"), lit(0L)).as("dd"))
+        .withColumn("__bucket", state.bucketCol) // both tables bucket on repo
+        .groupBy("__bucket").agg(
+          sum("isE").as("e"), sum("isT").as("t"),
+          sum("da").as("da"), sum("up").as("up"),
+          sum("ns").as("ns"), sum("dd").as("dd"))
+        .collect()
+      val eventCounts = summary.map(r => r.getInt(0) -> r.getLong(1))
+        .filter(_._2 > 0).toMap
+      val transferCounts = summary.map(r => r.getInt(0) -> r.getLong(2))
+        .filter(_._2 > 0).toMap
+      def total(i: Int): Long = summary.map(_.getLong(i)).sum
+
       val lineage = Map(
         "epoch" -> epoch,
         "batchRows" -> batchRows,
@@ -301,21 +325,21 @@ final class CdcEngine(
       // identically from identical state (determinism = exactly-once).
       // assumeNew: the fold already guarantees first-seen-only events.
       state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
-        touchedBuckets = Some(touched), assumeNew = true)
+        touchedBuckets = Some(touched), assumeNew = true,
+        precomputedCounts = Some(eventCounts))
       // observability parity with the reference's log probes: dangling-ack /
-      // unknown-purpose / negative-SLA counts land in manifest lineage (the
-      // agg runs on the cached fold output — no extra shuffle)
-      val c = upserts.agg(
-        coalesce(sum("danglingAcks"), lit(0L)),
-        coalesce(sum("unknownPurpose"), lit(0L)),
-        coalesce(sum("negativeSla"), lit(0L)),
-        coalesce(sum("duplicatesDropped"), lit(0L))).collect()(0)
+      // unknown-purpose / negative-SLA counts land in manifest lineage
       val tLineage = lineage ++ Map(
-        "danglingAcks" -> c.getLong(0), "unknownPurpose" -> c.getLong(1),
-        "negativeSla" -> c.getLong(2), "duplicatesDropped" -> c.getLong(3))
+        "danglingAcks" -> total(3), "unknownPurpose" -> total(4),
+        "negativeSla" -> total(5), "duplicatesDropped" -> total(6))
+      // the shared summary assumed both tables bucket identically (they do
+      // unless someone rebuckets one table out-of-band) — fall back to the
+      // in-commit count if not
+      val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
       if (morTransfers)
         transfers.mergeDelta(upserts, epoch,
-          metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
+          metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
+          precomputedCounts = if (sameBucketing) Some(transferCounts) else None)
       else
         transfers.merge(upserts, epoch,
           metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))

@@ -309,7 +309,12 @@ final class LakeTable(
   def mergeDelta(upserts: DataFrame, epoch: Long,
                  metadata: Map[String, String] = Map.empty,
                  lineage: Map[String, Long] = Map.empty,
-                 touchedBuckets: Option[Set[Int]] = None): Manifest = {
+                 touchedBuckets: Option[Set[Int]] = None,
+                 /** Per-bucket row counts of `upserts` when the caller
+                   * already computed them (must be exact — they become the
+                   * manifest counts); saves one aggregation job per commit.
+                   */
+                 precomputedCounts: Option[Map[Int, Long]] = None): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return manifestAt(epoch).get
 
@@ -336,8 +341,9 @@ final class LakeTable(
           .parquet(s"$root/$epochDirRel")
         // counts recomputed from the same deterministic plan (no read-back);
         // a bucket with zero rows leaves no dir and gets no entry
-        withBucket.groupBy("__bucket").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        precomputedCounts.getOrElse(
+          withBucket.groupBy("__bucket").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
       }
     val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
       FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
@@ -402,7 +408,12 @@ final class LakeTable(
                   * epoch fold only emits first-seen events) — skips the
                   * prior-keys anti-join read entirely.
                   */
-                assumeNew: Boolean = false): Manifest = {
+                assumeNew: Boolean = false,
+                /** Exact per-bucket counts of the rows that will be written
+                  * (only valid with assumeNew — the anti-join may drop rows
+                  * the caller can't see); saves one aggregation job.
+                  */
+                precomputedCounts: Option[Map[Int, Long]] = None): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return manifestAt(epoch).get
 
@@ -445,8 +456,9 @@ final class LakeTable(
           .parquet(s"$root/$epochDirRel")
         // counts recomputed from the same deterministic plan (no read-back);
         // pure-redelivery batches count to nothing and add no entries
-        fresh.groupBy("__bucket").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        precomputedCounts.filter(_ => assumeNew).getOrElse(
+          fresh.groupBy("__bucket").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
       }
     val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
       FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
