@@ -227,12 +227,26 @@ final class LakeTable(
     val result: Map[Int, Long] = if (touched.nonEmpty) {
       val existingKept =
         if (rewritten.isEmpty) None
-        else Some(conform(
-          spark.read.schema(DataType.fromJson(parent.get.schemaJson).asInstanceOf[StructType])
-            .parquet(rewritten.map(f => s"$root/${f.path}"): _*))
-          .withColumn("__bucket", bucketCol)
-          // existing rows whose key is replaced by this batch drop out
-          .join(withBucket.select(keyColumns.map(col): _*), keyColumns, "left_anti"))
+        else {
+          val parentSchema =
+            DataType.fromJson(parent.get.schemaJson).asInstanceOf[StructType]
+          // merge-on-read buckets may hold several VERSIONS per key — they
+          // must be resolved before carrying, or the rewrite would persist
+          // every version under one epoch stamp and snapshots would pick a
+          // winner arbitrarily
+          val existing =
+            if (mergeOnRead)
+              resolveLatest(spark.read
+                .schema(parentSchema.add(StructField("__epoch", LongType, nullable = true)))
+                .parquet(rewritten.map(f => s"$root/${f.path}"): _*))
+                .drop("__epoch")
+            else spark.read.schema(parentSchema)
+              .parquet(rewritten.map(f => s"$root/${f.path}"): _*)
+          Some(conform(existing)
+            .withColumn("__bucket", bucketCol)
+            // existing rows whose key is replaced by this batch drop out
+            .join(withBucket.select(keyColumns.map(col): _*), keyColumns, "left_anti"))
+        }
       val mergedRows = existingKept.fold(withBucket)(_.unionByName(withBucket))
         // per-row commit stamp: lets merge-on-read snapshots resolve
         // last-writer-wins when COW and delta commits interleave

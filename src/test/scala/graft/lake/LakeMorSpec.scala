@@ -42,6 +42,20 @@ class LakeMorSpec extends SparkSpec {
     }
   }
 
+  test("COW merge on a multi-version MOR table carries the RESOLVED version once") {
+    val t = new LakeTable(tmpDir("cow-on-mor") + "/t", numBuckets = 1,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    t.mergeDelta(Seq(("a", 1L), ("b", 1L)).toDF("k", "v"), epoch = 0L)
+    t.mergeDelta(Seq(("a", 2L), ("b", 2L)).toDF("k", "v"), epoch = 1L) // 2 versions each
+    // COW commit upserting only "b": "a" must carry as ONE row, the LATEST
+    t.merge(Seq(("b", 9L)).toDF("k", "v"), epoch = 2L)
+    val rows = LakeTable.readSnapshot(t, spark).as[(String, Long)]
+      .collect().sorted.toSeq
+    assert(rows == Seq(("a", 2L), ("b", 9L)), s"got $rows")
+    // physical layout after COW is fully resolved too (one row per key)
+    assert(t.latestManifest().get.files.map(_.rows).sum == 2)
+  }
+
   test("changesSince returns exactly the row versions committed in the range") {
     val t = new LakeTable(tmpDir("changes") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2)
