@@ -233,24 +233,25 @@ final class LakeTable(
           // merge-on-read buckets may hold several VERSIONS per key — they
           // must be resolved before carrying, or the rewrite would persist
           // every version under one epoch stamp and snapshots would pick a
-          // winner arbitrarily
-          val existing =
-            if (mergeOnRead)
-              resolveLatest(spark.read
-                .schema(parentSchema.add(StructField("__epoch", LongType, nullable = true)))
-                .parquet(rewritten.map(f => s"$root/${f.path}"): _*))
-                .drop("__epoch")
-            else spark.read.schema(parentSchema)
-              .parquet(rewritten.map(f => s"$root/${f.path}"): _*)
-          Some(conform(existing)
+          // winner arbitrarily. Carried rows KEEP their original epoch so
+          // changesSince never re-reports an unchanged row after a rewrite.
+          val withEpochSchema =
+            parentSchema.add(StructField("__epoch", LongType, nullable = true))
+          val raw = spark.read.schema(withEpochSchema)
+            .parquet(rewritten.map(f => s"$root/${f.path}"): _*)
+          val existing = if (mergeOnRead) resolveLatest(raw) else raw
+          Some(existing
+            .select((mergedSchema.fields.map(f =>
+              if (existing.columns.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)) :+ col("__epoch")): _*)
             .withColumn("__bucket", bucketCol)
             // existing rows whose key is replaced by this batch drop out
             .join(withBucket.select(keyColumns.map(col): _*), keyColumns, "left_anti"))
         }
-      val mergedRows = existingKept.fold(withBucket)(_.unionByName(withBucket))
-        // per-row commit stamp: lets merge-on-read snapshots resolve
-        // last-writer-wins when COW and delta commits interleave
-        .withColumn("__epoch", lit(epoch))
+      // upserts carry THIS epoch's stamp (legacy pre-stamp files read null
+      // and keep null — they predate incremental reads anyway)
+      val stamped = withBucket.withColumn("__epoch", lit(epoch))
+      val mergedRows = existingKept.fold(stamped)(_.unionByName(stamped))
         // merge shuffle is SALTED: a hot bucket (mega-key skew) spreads over
         // `saltFactor` tasks, each writing its own file into the bucket dir
         .repartition(math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size) * saltFactor,

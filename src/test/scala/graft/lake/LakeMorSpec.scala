@@ -72,6 +72,12 @@ class LakeMorSpec extends SparkSpec {
     val upTo2 = t.changesSince(spark, sinceEpoch = 1L, asOf = 2L)
       .select("k", "v").as[(String, Long)].collect().toSet
     assert(upTo2 == Set(("b", 2L), ("c", 2L)))
+    // a COW rewrite must NOT re-report carried (unchanged) rows
+    t.merge(Seq(("d", 4L)).toDF("k", "v"), epoch = 4L)
+    val afterCow = t.changesSince(spark, sinceEpoch = 3L)
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(afterCow == Set(("d", 4L)), s"carried rows re-reported: $afterCow")
+
     // append-only tables stream too (compaction keeps per-row stamps)
     val app = new LakeTable(tmpDir("changes-app") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), compactThreshold = 2)
