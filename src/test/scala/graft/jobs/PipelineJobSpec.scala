@@ -63,5 +63,18 @@ class PipelineJobSpec extends SparkSpec {
     val days = spark.read.parquet(out).select("date_requested_day")
       .distinct().as[String].collect().sorted.toSeq
     assert(days == Seq("2019-12-02", "2019-12-03"))
+
+    // with GRAFT_DIM_PATH the export carries enrichment columns
+    val dimPath = tmpDir("job-dim")
+    graft.cdc.Enrichment.generateDim(spark, numAsids = 30, yearMonths = Seq(201912))
+      .write.mode("overwrite").parquet(dimPath)
+    val out2 = tmpDir("job-out-enriched")
+    val cfg2 = cfg.copy(outputDir = out2, dimPath = Some(dimPath))
+    assert(TransferPipelineJob.run(spark, cfg2) == 2L)
+    val enriched = spark.read.parquet(out2)
+    assert(enriched.columns.contains("requesting_practice_ods_code"))
+    val a1 = enriched.filter($"requestingPracticeAsid" === "asid-1")
+      .select("requesting_practice_ods_code").as[String].collect()
+    assert(a1.forall(_ == "O00001-201912"), s"got ${a1.toSeq}")
   }
 }
