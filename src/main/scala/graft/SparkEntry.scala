@@ -354,6 +354,21 @@ object SparkEntry {
             .as("table_sha256"))
     }),
 
+    // ---- J2/J3 golden: enrichment coverage distribution — how many
+    // classified rows resolved each practice role against the monthly dim
+    // (as-of + one-month fallback + null-pad-on-miss all flow into it) ----
+    "c05_enrich_dist" -> ((s, _) => {
+      val cfg = GenConfig(numConversations = 200, hotConversations = 1, hotFragments = 32)
+      val transfers = CdcPipeline.classify(
+        ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF()
+      val dim = Enrichment.generateDim(s, numAsids = 997, yearMonths = Seq(201912, 202001))
+      Enrichment.enrich(transfers, dim)
+        .groupBy(col("status"),
+          col("requesting_practice_ods_code").isNotNull.as("req_resolved"),
+          col("sending_practice_ods_code").isNotNull.as("snd_resolved"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- the CDC engine itself: deterministic log → classified table ----
     "c01_cdc_classify" -> ((s, _) => {
       val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
@@ -572,6 +587,25 @@ object SparkEntry {
     // golden histogram of the deterministic generator + classifier (the
     // generator is seeded; this pins the classified-outcome distribution
     // like the reference's golden daily outputs)
+    // golden enrichment-coverage histogram (as-of month + one-month
+    // fallback + null-pad-on-miss; seeded generator + dim → deterministic)
+    "c05_enrich_dist" ->
+      """SELECT status, CAST(r AS BOOLEAN) AS req_resolved,
+                CAST(s AS BOOLEAN) AS snd_resolved, CAST(n AS BIGINT) AS n
+         FROM (VALUES
+           ('Integrated on time',   false, false,   2),
+           ('Integrated on time',   false, true,    9),
+           ('Integrated on time',   true,  false,  17),
+           ('Integrated on time',   true,  true,  103),
+           ('Process failure',      false, false,   1),
+           ('Process failure',      true,  false,   1),
+           ('Process failure',      true,  true,   22),
+           ('Technical failure',    false, true,    4),
+           ('Technical failure',    true,  false,   1),
+           ('Technical failure',    true,  true,   38),
+           ('Unclassified failure', true,  false,   1),
+           ('Unclassified failure', true,  true,    1)
+         ) AS t(status, r, s, n)""",
     // full-table content golden: one sha256 over the sorted per-row hashes
     "c04_cdc_checksum" ->
       """SELECT CAST(300 AS BIGINT) AS n,

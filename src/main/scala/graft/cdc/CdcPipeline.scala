@@ -41,6 +41,15 @@ final case class TransferRecord(
 
 object CdcPipeline {
 
+  /** Allocation-free (tsMicros, offset) total order for the fold's sort. */
+  private val eventOrder: java.util.Comparator[ChangeEvent] =
+    new java.util.Comparator[ChangeEvent] {
+      override def compare(a: ChangeEvent, b: ChangeEvent): Int = {
+        val c = java.lang.Long.compare(a.tsMicros, b.tsMicros)
+        if (c != 0) c else java.lang.Long.compare(a.offset, b.offset)
+      }
+    }
+
   /** The central sessionize-and-classify fold: one shuffle (groupByKey on the
     * session key), then a single in-memory pass per key —
     * dedup by event id keeping the FIRST-seen offset (idempotence under
@@ -78,7 +87,10 @@ object CdcPipeline {
     }
     if (byCommit.isEmpty) return None
     val deduped = byCommit.values.toArray
-    java.util.Arrays.sort(deduped, Ordering.by((e: ChangeEvent) => (e.tsMicros, e.offset)))
+    // primitive comparator: the Ordering.by tuple formulation allocates a
+    // Tuple2 + two boxed longs PER COMPARISON — measurable on the
+    // memory-bandwidth-bound fold path
+    java.util.Arrays.sort(deduped, CdcPipeline.eventOrder)
     var minOff = Long.MaxValue
     var maxOff = Long.MinValue
     val msgs = Vector.newBuilder[SpineMessage]
