@@ -76,7 +76,13 @@ final class LakeTable(
       * physically resolve the buckets they rewrite.
       */
     val mergeOnRead: Boolean = false,
-    /** Max live files per bucket before mergeDelta compacts that bucket. */
+    /** Max live files per bucket before a commit compacts that bucket. The
+      * EFFECTIVE threshold is jittered per bucket (threshold + bucket mod
+      * threshold, i.e. in [threshold, 2·threshold)): without jitter every
+      * bucket crosses the line in the SAME epoch and that commit pays a
+      * full-table rewrite spike; jitter spreads compactions across epochs
+      * deterministically (replay-stable).
+      */
     val compactThreshold: Int = 8,
 ) {
   private val bucketCols: Seq[String] = if (bucketColumns.nonEmpty) bucketColumns else keyColumns
@@ -178,6 +184,10 @@ final class LakeTable(
         }
     }
   }
+
+  /** Per-bucket compaction threshold in [compactThreshold, 2·compactThreshold). */
+  private def effectiveThreshold(bucket: Int): Int =
+    compactThreshold + (bucket % compactThreshold)
 
   /** Last-writer-wins per key: one row per key per epoch is guaranteed by
     * the one-commit-per-epoch manifest protocol, so (key, __epoch desc) has
@@ -367,7 +377,8 @@ final class LakeTable(
 
     // compact over-threshold buckets: read their live files, resolve the
     // per-key winners, rewrite as one file set (per-row __epoch preserved)
-    val overfull = files.groupBy(_.bucket).filter(_._2.size > compactThreshold).keySet
+    val overfull = files.groupBy(_.bucket)
+      .filter { case (b, fs) => fs.size > effectiveThreshold(b) }.keySet
     if (overfull.nonEmpty) {
       val cDirRel = f"data/e$epoch%012dc"
       val cInput = files.filter(f => overfull.contains(f.bucket))
@@ -484,7 +495,8 @@ final class LakeTable(
     // bucket — after many epochs a bucket read would open thousands of
     // files. Compact over-threshold buckets by concatenation (rows are
     // unique by key already — no resolution needed).
-    val overfull = files.groupBy(_.bucket).filter(_._2.size > compactThreshold).keySet
+    val overfull = files.groupBy(_.bucket)
+      .filter { case (b, fs) => fs.size > effectiveThreshold(b) }.keySet
     if (overfull.nonEmpty) {
       val cDirRel = f"data/e$epoch%012dc"
       val cInput = files.filter(f => overfull.contains(f.bucket))

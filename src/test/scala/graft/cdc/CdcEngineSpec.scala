@@ -176,8 +176,10 @@ class CdcEngineSpec extends SparkSpec {
     }
     val m = t.latestManifest().get
     val perBucket = m.files.groupBy(_.bucket).map(_._2.size)
-    assert(perBucket.forall(_ <= 3 + 1),
-      s"live files per bucket must stay bounded by the threshold: ${m.files}")
+    // effective per-bucket threshold is jittered into [t, 2t) to spread
+    // compaction epochs — the hard bound is 2t
+    assert(perBucket.forall(_ <= 2 * 3),
+      s"live files per bucket must stay bounded by 2x threshold: ${m.files}")
     // resolution yields the last writer despite all the deltas/compactions
     val rows = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSeq
     assert(rows == Seq(("hot", 9L)))

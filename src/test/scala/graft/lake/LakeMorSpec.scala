@@ -38,7 +38,7 @@ class LakeMorSpec extends SparkSpec {
       }
       // compaction actually bounded the per-bucket file count
       val perBucket = t.latestManifest().get.files.groupBy(_.bucket).map(_._2.size)
-      assert(perBucket.forall(_ <= 3), s"seed=$seed files per bucket: $perBucket")
+      assert(perBucket.forall(_ <= 2 * 2), s"seed=$seed files per bucket: $perBucket")
     }
   }
 
@@ -95,7 +95,8 @@ class LakeMorSpec extends SparkSpec {
     }
     val m = t.latestManifest().get
     val perBucket = m.files.groupBy(_.bucket).map(_._2.size)
-    assert(perBucket.forall(_ <= 3 + 1),
+    // jittered threshold: hard bound 2t
+    assert(perBucket.forall(_ <= 2 * 3),
       s"append-only buckets must compact: ${m.files}")
     val rows = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
     assert(rows == (0L until 10L).map(e => (s"k$e", e)).toSet)
