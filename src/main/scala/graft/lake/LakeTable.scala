@@ -588,9 +588,10 @@ final class LakeTable(
     require(parent.epoch < epoch, s"epoch $epoch not after ${parent.epoch}")
 
     val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    // ALWAYS carry the per-row commit stamp through the rewrite — dropping
+    // it would break changesSince for append-only tables after a rebucket
     val withEpochSchema =
-      if (mergeOnRead) schema.add(StructField("__epoch", LongType, nullable = true))
-      else schema
+      schema.add(StructField("__epoch", LongType, nullable = true))
     val all = spark.read.schema(withEpochSchema)
       .parquet(parent.files.map(f => s"$root/${f.path}"): _*)
     val resolved = if (mergeOnRead) resolveLatest(all) else all

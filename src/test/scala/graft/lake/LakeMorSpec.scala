@@ -87,6 +87,18 @@ class LakeMorSpec extends SparkSpec {
     assert(appChanges == Set("k4", "k5"), s"got $appChanges")
   }
 
+  test("rebucket preserves per-row commit stamps (change stream survives)") {
+    val t = new LakeTable(tmpDir("rebucket-changes") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"))
+    (0L until 4L).foreach(e => t.appendNew(Seq((s"k$e", e)).toDF("k", "v"), e))
+    t.rebucket(spark, newNumBuckets = 8, epoch = 4L)
+    assert(t.currentNumBuckets == 8)
+    val changes = t.changesSince(spark, sinceEpoch = 1L)
+      .select("k", "_commit_epoch").as[(String, Long)].collect().toSet
+    assert(changes == Set(("k2", 2L), ("k3", 3L)),
+      s"stamps must survive the rebucket rewrite: $changes")
+  }
+
   test("append-only compaction bounds file counts and preserves every row") {
     val t = new LakeTable(tmpDir("append-compact") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), compactThreshold = 3)
