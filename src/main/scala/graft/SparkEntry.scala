@@ -204,6 +204,19 @@ object SparkEntry {
         explode(graft.functions.WinnowExpr.winnow(col("text"), 5, 4)).as("fp"))
         .distinct()),
 
+    // ---- near-dup CLUSTERS: connected components over the verified pair
+    // set — the keep-one-per-duplicate-cluster step; component = min doc_id
+    // (canonical survivor). Oracle: recursive-CTE transitive closure over
+    // the same brute-force pair set. ----
+    "d09_dup_clusters" -> ((s, d) => {
+      val pairs = TextOps.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+        .select(col("a"), col("b"))
+      graft.ops.GraphOps.connectedComponents(pairs)
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))
+    }),
+
     // ---- near-dup: SimHash via the native Catalyst expression ----
     "d06_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -491,6 +504,27 @@ object SparkEntry {
          ) GROUP BY lang, guess""",
     "d04_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256 FROM documents""",
+    // transitive closure over the brute-force pair set; component = min id
+    "d09_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           WHERE len(ws) >= 3
+         ),
+         p AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 2 >= len(list_distinct(list_concat(a.s, b.s)))
+         ),
+         edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         reach(node, root) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+         )
+         SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS component
+         FROM reach GROUP BY node""",
     // naive per-gram polynomial == the rolling hash's value; winnow = min
     // per window of 4 gram hashes, distinct per doc
     "d07_winnow_fp" ->

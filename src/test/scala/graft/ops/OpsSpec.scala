@@ -32,6 +32,20 @@ class OpsSpec extends SparkSpec {
       s"unrelated docs must not pair: $pairs")
   }
 
+  test("connected components: chains collapse to one cluster, min id canonical") {
+    import graft.ops.GraphOps
+    // chain 1-2-3-4 (transitive), pair (10,11), singleton 99 via dedupByPairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val comps = GraphOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"got $comps")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val dedup = GraphOps.dedupByPairs(docs, pairs, "doc_id")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(dedup.filter(_._2).keySet == Set(1L, 10L, 99L), s"survivors: $dedup")
+  }
+
   test("simhash Hamming-LSH join finds planted near-dups (pigeonhole recall)") {
     val docs = Seq(
       (0L, base),
