@@ -96,6 +96,28 @@ class PlanSpec extends SparkSpec {
       s"rank-limit must push a partial top-k below the shuffle:\n$plan")
   }
 
+  test("key filters push through merge-on-read resolution to the parquet scan") {
+    import spark.implicits._
+    val day = 24L * 3600 * 1000000L
+    val eng = new graft.cdc.CdcEngine(
+      java.nio.file.Files.createTempDirectory("planspec-mor").toString,
+      numBuckets = 4, cutoffMicros = 14 * day)
+    val log = graft.cdc.ChangeLogGen.generate(spark,
+      graft.cdc.GenConfig(numConversations = 30, epochs = 2))
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    // multi-file buckets exist (two epochs) → the resolution window is live;
+    // a point filter on the key must still reach the file scan
+    val df = eng.currentTransfers(spark).filter(col("repo") === "repo-0000000001")
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val pushed = s.metadata("PushedFilters")
+      assert(pushed.contains("EqualTo(repo"),
+        s"key predicate must push below the resolution window: $pushed")
+    }
+  }
+
   test("whole-stage codegen covers the scan-side of q03 aggregation") {
     val df = SparkEntry.queries("q03_session_agg")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages are visible
