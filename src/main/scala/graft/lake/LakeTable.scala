@@ -542,6 +542,27 @@ final class LakeTable(
     * crashed commits are swept first (single writer per table; a duplicate
     * committer of the SAME epoch writes its own distinctly-named tmp).
     */
+  /** Point lookup — the O(one bucket) read primitive a CDC-maintained table
+    * serves: the bucket id is computed DRIVER-SIDE by evaluating the same
+    * Catalyst hash expression the writers use, so the read opens only that
+    * bucket's files (manifest-pruned, no listing) and the key equality
+    * pushes into the parquet scan, where the within-bucket key sort gives
+    * row-group min/max pruning. Merge-on-read resolution applies as usual.
+    * `key` must bind every bucket column (extra key columns just filter).
+    */
+  def lookup(spark: SparkSession, key: Map[String, Any],
+             asOf: Long = Long.MaxValue): DataFrame = {
+    require(bucketCols.forall(key.contains),
+      s"lookup must bind all bucket columns $bucketCols, got ${key.keySet}")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    val hash = XxHash64(bucketCols.map(c => Literal(key(c))), 42L) // functions.xxhash64 seed
+    val bucket = Pmod(hash, Literal(currentNumBuckets.toLong))
+      .eval().asInstanceOf[Long].toInt
+    key.foldLeft(snapshot(spark, asOf, buckets = Some(Set(bucket)))) {
+      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    }
+  }
+
   /** Incremental (CDC) read: every row VERSION committed in
     * `(sinceEpoch, asOf]` — the change stream a downstream consumer tails
     * instead of re-reading snapshots. File pruning first (a file written at

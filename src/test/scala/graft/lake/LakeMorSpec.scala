@@ -87,6 +87,23 @@ class LakeMorSpec extends SparkSpec {
     assert(appChanges == Set("k4", "k5"), s"got $appChanges")
   }
 
+  test("point lookup reads one bucket only and returns the resolved row") {
+    val t = new LakeTable(tmpDir("lookup") + "/t", numBuckets = 8,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    val keys = (0 until 40).map(i => s"k$i")
+    t.mergeDelta(keys.map(k => (k, 1L)).toDF("k", "v"), epoch = 0L)
+    t.mergeDelta(Seq(("k3", 2L)).toDF("k", "v"), epoch = 1L) // newer version
+
+    val hit = t.lookup(spark, Map("k" -> "k3"))
+    assert(hit.select("k", "v").as[(String, Long)].collect().toSeq == Seq(("k3", 2L)))
+    // the read touches a strict subset of the table's files (bucket pruning)
+    val allFiles = LakeTable.readSnapshot(t, spark).inputFiles.length
+    val hitFiles = hit.inputFiles.length
+    assert(hitFiles < allFiles, s"lookup read $hitFiles of $allFiles files")
+    // a missing key resolves to empty, not an error
+    assert(t.lookup(spark, Map("k" -> "nope")).isEmpty)
+  }
+
   test("rebucket preserves per-row commit stamps (change stream survives)") {
     val t = new LakeTable(tmpDir("rebucket-changes") + "/t", numBuckets = 2,
       keyColumns = Seq("k"))
