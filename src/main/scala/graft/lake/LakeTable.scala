@@ -535,13 +535,6 @@ final class LakeTable(
     manifest
   }
 
-  /** Publish via hard-link, not rename: POSIX rename (ATOMIC_MOVE) silently
-    * REPLACES an existing target, so a racing duplicate-epoch committer
-    * would overwrite the first commit — link(2) is equally atomic but fails
-    * with EEXIST, making first-commit-wins real. Stale `.tmp` files from
-    * crashed commits are swept first (single writer per table; a duplicate
-    * committer of the SAME epoch writes its own distinctly-named tmp).
-    */
   /** Point lookup — the O(one bucket) read primitive a CDC-maintained table
     * serves: the bucket id is computed DRIVER-SIDE by evaluating the same
     * Catalyst hash expression the writers use, so the read opens only that
@@ -549,6 +542,8 @@ final class LakeTable(
     * pushes into the parquet scan, where the within-bucket key sort gives
     * row-group min/max pruning. Merge-on-read resolution applies as usual.
     * `key` must bind every bucket column (extra key columns just filter).
+    * Like all bucket-pruned reads, the id targets the HEAD bucket count —
+    * time travel across a rebucket should read unpruned snapshots.
     */
   def lookup(spark: SparkSession, key: Map[String, Any],
              asOf: Long = Long.MaxValue): DataFrame = {
@@ -644,6 +639,13 @@ final class LakeTable(
     manifest
   }
 
+  /** Publish via hard-link, not rename: POSIX rename (ATOMIC_MOVE) silently
+    * REPLACES an existing target, so a racing duplicate-epoch committer
+    * would overwrite the first commit — link(2) is equally atomic but fails
+    * with EEXIST, making first-commit-wins real. Stale `.tmp` files from
+    * crashed commits are swept first (single writer per table; a duplicate
+    * committer of the SAME epoch writes its own distinctly-named tmp).
+    */
   private def writeManifestAtomically(m: Manifest): Unit = {
     Files.createDirectories(manifestDir)
     listNames(manifestDir).filter(_.endsWith(".tmp")).foreach { stale =>

@@ -4,18 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over an embedding column (array<float>), pure Catalyst
-  * expressions (`zip_with` + `aggregate` dot products — codegen'd, no UDF).
+/** Similarity search over an embedding column (array<float>) — no UDFs,
+  * native codegen'd expressions in every hot loop (CosineSimExpr,
+  * NearestCellsExpr, PqEncodeExpr/AdcLookupExpr, CosineSketchExpr).
   *
-  * Two paths:
+  * Four paths, by scale regime:
   *  - brute-force top-k: broadcast the (small) query set against the corpus;
-  *    one pass, no shuffle of the corpus, O(Q×N) dots distributed over
-  *    corpus partitions — the correctness baseline;
-  *  - IVF (inverted-file) top-k: k-means-less variant with deterministic
-  *    seed centroids; corpus is pre-assigned to cells (narrow map), the
-  *    query probes only `nprobe` nearest cells — at 100 TB the probe reads
-  *    cells/nprobe of the data instead of all of it, and cell assignment
-  *    is a partition key so the scan prunes.
+  *    one pass, no shuffle of the corpus, O(Q×N) fused cosines — the
+  *    correctness baseline (exactly oracle-able);
+  *  - IVF top-k: deterministic spherical k-means cells; queries probe only
+  *    `nprobe` cells — at 100 TB the probe reads nprobe/numCells of the
+  *    data, and cell is a pruning/partition key;
+  *  - PQ top-k: 32× compressed codes + ADC lookup scoring — the
+  *    memory-bound regime where raw vectors no longer fit cluster RAM;
+  *  - cosine near-dup pairs: banded sign-sketch LSH with id-only candidate
+  *    shuffles and exact fused-cosine verification.
   */
 object VectorOps {
 
