@@ -9,28 +9,40 @@ import org.apache.spark.sql.functions._
   * docs at a time, but transitively-linked docs form one cluster with one
   * canonical survivor.
   *
-  * Algorithm: iterative min-label propagation to a fixpoint — each node
-  * adopts the minimum component id among itself and its neighbors; after at
-  * most diameter(G) rounds every node carries the minimum id of its
-  * component (the deterministic canonical representative). Each round is
-  * one join + one aggregation; duplicate-cluster graphs are shallow (near
-  * -dup clusters are dense, diameter is small), so rounds stay in single
-  * digits at any corpus size. The label table carries (id, component) only —
-  * two fixed-width columns through every shuffle.
+  * Algorithm: min-label propagation with pointer jumping (shortcutting) —
+  * each round a node first adopts the minimum component id among itself and
+  * its neighbors, then jumps to its component's component
+  * (comp := comp(comp)). Neighbor propagation alone needs diameter(G)
+  * rounds; the jump doubles the distance a minimum label has travelled each
+  * round, so a fixpoint is reached in O(log diameter) rounds — a
+  * 2^40-node chain converges inside the default maxIter. Non-convergence
+  * THROWS rather than returning split components: a dedup pipeline fed
+  * partial labels would silently keep several "canonical" survivors of one
+  * duplicate cluster. The label table carries (id, component) only — two
+  * fixed-width columns through every shuffle.
   */
 object GraphOps {
 
   /** (a, b) pairs → (id, component) for every node appearing in a pair;
     * component = min node id of the connected component.
+    *
+    * @throws IllegalStateException if a fixpoint is not reached in `maxIter`
+    *         rounds (needs ~log2(diameter) + 2; default 50 covers any graph
+    *         that fits in storage).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint (not cache) each round: labels feeds into itself twice
+    // per iteration, so without lineage truncation the logical plan doubles
+    // every round and the driver OOMs just rendering it by ~iteration 10.
+    // On a real cluster swap for reliable checkpointing (sc.setCheckpointDir
+    // + .checkpoint()) to also get executor-loss fault tolerance.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -38,19 +50,32 @@ object GraphOps {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.select("id", "component").unionByName(viaNeighbors)
+      val propagated = labels.select("id", "component").unionByName(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
-        .cache()
+        .localCheckpoint(true)
+      // pointer jump: component ids are node ids, so resolve one more hop
+      // (comp(comp(u))) — this is what makes long chains converge in
+      // logarithmic rounds instead of linear
+      val next = propagated.alias("n")
+        .join(propagated.select(col("id").as("component"),
+          col("component").as("component2")).alias("p"), Seq("component"), "left_outer")
+        .select(col("id"), coalesce(col("component2"), col("component")).as("component"))
+        .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("l"), col("n.id") === col("l.id"))
         .filter(col("n.component") =!= col("l.component"))
         .limit(1).count() // any-change probe, stops at the first hit
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed ≈ log2(component diameter) + 2)")
+    }
     labels
   }
 

@@ -46,6 +46,25 @@ class OpsSpec extends SparkSpec {
     assert(dedup.filter(_._2).keySet == Set(1L, 10L, 99L), s"survivors: $dedup")
   }
 
+  test("connected components: 200-node chain converges logarithmically; exhaustion throws") {
+    import graft.ops.GraphOps
+    // worst-case topology for label propagation: one chain, diameter 199
+    // (template-drift near-dup clusters look like this: A≈B≈C≈…)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    // pointer jumping ⇒ ~log2(199)+2 ≈ 10 rounds; 12 gives slack while still
+    // proving the fix (plain propagation needs 199 and used to return split
+    // labels silently)
+    val comps = GraphOps.connectedComponents(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 200 && comps.values.forall(_ == 0L),
+      s"chain must collapse to component 0: ${comps.filter(_._2 != 0L)}")
+    // too few rounds must THROW, not silently return split components
+    val ex = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(chain, maxIter = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("simhash Hamming-LSH join finds planted near-dups (pigeonhole recall)") {
     val docs = Seq(
       (0L, base),
