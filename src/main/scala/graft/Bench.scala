@@ -52,10 +52,28 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-      catch { case _: Throwable => -1.0 }
-      name -> sec
+    // SPARK_GRAFT_ONLY=d02,d03 restricts to named queries (iteration aid);
+    // unset = the full driver benchmark
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        // subset mode: one untimed warm-up run first (JIT + parquet footers),
+        // matching the warm position queries get inside the full benchmark
+        if (only.isDefined) {
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => }
+        }
+        val sec = try timed(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
+
+    if (only.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      println(s"""{"metric":"subset","queries":$qs,"sf":"$sfDir","cpus":"$cpus"}""")
+      spark.stop()
+      return
     }
 
     val (events, classifySec, applySec, replaySec) = cdcBench(spark, conversations)

@@ -99,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(LangIdExpr.registration)
     ext.injectFunction(CosineSimExpr.registration)
     ext.injectFunction(WinnowExpr.registration)
+    ext.injectFunction(QualityStatsExpr.registration)
   }
 }
 
@@ -107,7 +108,7 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(SimHash64Expr.registration, CosineSketchExpr.registration,
       LangIdExpr.registration, CosineSimExpr.registration,
-      WinnowExpr.registration).foreach {
+      WinnowExpr.registration, QualityStatsExpr.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -48,8 +48,24 @@ object TextOps {
   /** Quality features: length, token stats, punctuation/digit/upper/stopword
     * counts and a BPE-ish subword count, as exact integer counts (ratios
     * left to the caller to avoid float nondeterminism across engines).
+    * One fused linear scan per row (native [[graft.functions.QualityStatsExpr]];
+    * the struct is codegen'd, so ProjectExec's subexpression elimination
+    * computes it once for all eight extracted fields). Bit-parity with the
+    * relational formulation [[qualityFeaturesRef]] is asserted in OpsSpec.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val qs = graft.functions.QualityStatsExpr.qualityStats(col(textCol))
+    graft.functions.QualityStatsExpr.fieldNames.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f, qs.getField(f))
+    }
+  }
+
+  /** The relational reference formulation of [[qualityFeatures]] — 4 regex
+    * replaces + 2 regex splits over the full text per row. Kept as the
+    * engine-portable semantics donor (it mirrors the DuckDB oracle SQL) and
+    * for the parity test; the fused expression is the production path.
+    */
+  def qualityFeaturesRef(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val sw = array(stopwords.map(lit): _*)
     df.withColumn("n_chars_q", length(t))

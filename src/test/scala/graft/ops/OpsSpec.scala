@@ -305,4 +305,23 @@ class OpsSpec extends SparkSpec {
       .selectExpr("graft_langid(text)").as[String].collect().head
     assert(one == "de")
   }
+
+  test("fused quality stats equal the relational formulation on fixture + edge cases") {
+    val fields = graft.functions.QualityStatsExpr.fieldNames
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(Seq(
+        "", " ", "   ", "the", "THE", "The And OF", "a", "A",
+        "abc123 !!! x9", "的是了 the 在", "word, and. with; on!",
+        "multibytechars 的的的", "tab\tis not a space", "trailing space ",
+        " leading", "double  space", "1234567890", "éclair café the",
+        "supercalifragilistic the on expialidocious",
+      ).toDF("text"))
+    val nat = TextOps.qualityFeatures(docs, "text")
+      .select(fields.map(f => col(f).cast("long").as(f)): _*)
+    val ref = TextOps.qualityFeaturesRef(docs, "text")
+      .select(fields.map(f => col(f).cast("long").as(f)): _*)
+    val diff = nat.exceptAll(ref).unionByName(ref.exceptAll(nat))
+    assert(diff.isEmpty, s"divergent rows: ${diff.take(5).mkString(", ")}")
+  }
 }
