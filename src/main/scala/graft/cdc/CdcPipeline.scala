@@ -211,6 +211,25 @@ final class CdcEngine(
       * benchmarking of the write-amplification fix; see IncrementalBench).
       */
     val morTransfers: Boolean = true,
+    /** Reporting window of this run — when set, every commit manifest carries
+      * `start-datetime`/`end-datetime` exactly like the reference stamps
+      * every output file (`pipeline/spine_runner.py:39-47`, asserted in
+      * `tests/e2e/test_transfer_classifier.py:259-267`).
+      */
+    val window: Option[ReportingWindow] = None,
+    /** The resolved organisation-dimension month (yyyymm) — manifest key
+      * `ods-metadata-month`, formatted `"$year-$month"` without zero padding
+      * to match the reference's f"{year}-{month}".
+      */
+    val odsMetadataMonth: Option[Int] = None,
+    /** Months (yyyymm) that HAVE a dim snapshot. When set, each epoch counts
+      * the transfers whose request month AND its previous month both lack a
+      * snapshot — the situation where the reference RAISES
+      * (`organisation_metadata_monthly.py:26-34`) while this engine
+      * null-pads — and lands it in manifest lineage as
+      * `missingDimMonthTransfers` next to the other observability counters.
+      */
+    val dimMonths: Option[Set[Int]] = None,
 ) {
   val state = new LakeTable(s"$warehouse/state", numBuckets,
     keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"))
@@ -301,6 +320,18 @@ final class CdcEngine(
       // for BOTH table commits plus the observability counter sums —
       // replaces three separate aggregation jobs per epoch (per-epoch
       // barriers are the fixed cost that dominates small batches)
+      val missingDimFlag: org.apache.spark.sql.Column = dimMonths match {
+        case Some(ms) =>
+          val ts = timestamp_micros(col("transfer.dateRequestedMicros"))
+          val ym = (year(ts) * 100 + month(ts)).cast("int")
+          val prevYm = when(pmod(ym, lit(100)) === 1, ym - 89).otherwise(ym - 1)
+          val missing =
+            if (ms.isEmpty) col("transfer").isNotNull
+            else col("transfer").isNotNull &&
+              !ym.isin(ms.toSeq: _*) && !prevYm.isin(ms.toSeq: _*)
+          missing.cast("long")
+        case None => lit(0L)
+      }
       val summary = out.toDF().select(
           coalesce(col("transfer.repo"), col("event.repo")).as("repo"),
           col("event").isNotNull.cast("long").as("isE"),
@@ -308,12 +339,13 @@ final class CdcEngine(
           coalesce(col("transfer.danglingAcks"), lit(0L)).as("da"),
           coalesce(col("transfer.unknownPurpose"), lit(0L)).as("up"),
           coalesce(col("transfer.negativeSla"), lit(0L)).as("ns"),
-          coalesce(col("transfer.duplicatesDropped"), lit(0L)).as("dd"))
+          coalesce(col("transfer.duplicatesDropped"), lit(0L)).as("dd"),
+          missingDimFlag.as("md"))
         .withColumn("__bucket", state.bucketCol) // both tables bucket on repo
         .groupBy("__bucket").agg(
           sum("isE").as("e"), sum("isT").as("t"),
           sum("da").as("da"), sum("up").as("up"),
-          sum("ns").as("ns"), sum("dd").as("dd"))
+          sum("ns").as("ns"), sum("dd").as("dd"), sum("md").as("md"))
         .collect()
       val eventCounts = summary.map(r => r.getInt(0) -> r.getLong(1))
         .filter(_._2 > 0).toMap
@@ -327,10 +359,17 @@ final class CdcEngine(
         "minOffset" -> stats.getLong(1),
         "maxOffset" -> stats.getLong(2),
       )
+      // metadata-key parity with the reference's per-file S3 metadata
+      // (spine_runner.py:39-47): start/end-datetime in the reference's ISO
+      // "+00:00" rendering, ods-metadata-month without zero padding
       val meta = Map(
         "cutoff-days" -> (cutoffMicros / (24L * 3600 * 1000000L)).toString,
         "build-tag" -> "graft-cdc-v1",
-      )
+      ) ++ window.map(w => Map(
+        "start-datetime" -> CdcEngine.isoUtc(w.startMicros),
+        "end-datetime" -> CdcEngine.isoUtc(w.endMicros),
+      )).getOrElse(Map.empty) ++ odsMetadataMonth.map(ym =>
+        "ods-metadata-month" -> s"${ym / 100}-${ym % 100}")
 
       // state first, then transfers: a crash in between re-runs the epoch —
       // state commit is already present ⇒ skipped; transfers recomputed
@@ -343,7 +382,9 @@ final class CdcEngine(
       // unknown-purpose / negative-SLA counts land in manifest lineage
       val tLineage = lineage ++ Map(
         "danglingAcks" -> total(3), "unknownPurpose" -> total(4),
-        "negativeSla" -> total(5), "duplicatesDropped" -> total(6))
+        "negativeSla" -> total(5), "duplicatesDropped" -> total(6)) ++
+        // only when the caller declared its dim coverage (see dimMonths)
+        dimMonths.map(_ => "missingDimMonthTransfers" -> total(7))
       // the shared summary assumed both tables bucket identically (they do
       // unless someone rebuckets one table out-of-band) — fall back to the
       // in-commit count if not
@@ -372,4 +413,14 @@ final class CdcEngine(
     */
   def currentTransfers(spark: SparkSession): DataFrame =
     LakeTable.readSnapshot(transfers, spark)
+}
+
+object CdcEngine {
+  /** The reference's datetime-string rendering for commit metadata: ISO with
+    * an explicit "+00:00" offset (python isoformat of a UTC-aware datetime,
+    * `utils/date_converter.py`).
+    */
+  def isoUtc(micros: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(micros / 1000000L, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "+00:00"
 }

@@ -78,6 +78,18 @@ object Enrichment {
       .withColumnRenamed("qm", "yearMonth")
   }
 
+  /** Query months with NO dim snapshot in {month, previous month} — the case
+    * where the reference raises OdsMetadataNotFound
+    * (`organisation_metadata_monthly.py:26-34`). Callers decide the policy:
+    * the job front door logs + counts, the engine lands a lineage counter.
+    */
+  def missingDimMonths(dim: DataFrame, queryMonths: Seq[Int]): Seq[Int] = {
+    import dim.sparkSession.implicits._
+    val present = dim.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
+    def prev(ym: Int): Int = if (ym % 100 == 1) ym - 89 else ym - 1
+    queryMonths.distinct.sorted.filterNot(ym => present(ym) || present(prev(ym)))
+  }
+
   private def roleCols(prefix: String) = Seq(
     col("odsCode").as(s"${prefix}_practice_ods_code"),
     col("name").as(s"${prefix}_practice_name"),

@@ -71,7 +71,16 @@ object TransferPipelineJob {
       .filter(col("dateRequestedMicros") >= lit(w.startMicros) &&
         col("dateRequestedMicros") < lit(w.endMicros))
     val enriched = cfg.dimPath match {
-      case Some(p) => Enrichment.enrich(classified, spark.read.parquet(p))
+      case Some(p) =>
+        val dim = spark.read.parquet(p)
+        // the reference RAISES when a window month and its previous month
+        // both lack a dim snapshot (organisation_metadata_monthly.py:26-34);
+        // surface the same condition loudly before null-padding
+        val missing = Enrichment.missingDimMonths(dim, w.months)
+        if (missing.nonEmpty)
+          println(s"[graft] MISSING_ODS_METADATA months=${missing.mkString(",")} " +
+            "— affected transfers will be null-padded")
+        Enrichment.enrich(classified, dim)
       case None    => classified
     }
     Export.exportDaily(enriched, cfg.outputDir)

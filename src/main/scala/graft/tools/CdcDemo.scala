@@ -28,7 +28,11 @@ object CdcDemo {
       s"${log.select("repo").distinct().count()} sessions")
 
     val dir = java.nio.file.Files.createTempDirectory("cdc-demo").toString
-    val eng = new CdcEngine(dir, numBuckets = 16, cutoffMicros = 14 * day)
+    val window = ReportingWindow(
+      java.time.LocalDate.of(2019, 12, 1), java.time.LocalDate.of(2020, 1, 1), 14)
+    val eng = new CdcEngine(dir, numBuckets = 16, cutoffMicros = 14 * day,
+      window = Some(window), odsMetadataMonth = Some(201912),
+      dimMonths = Some(Set(201911, 201912)))
     (0L until cfg.epochs.toLong).foreach { e =>
       val t0 = System.nanoTime()
       val m = eng.applyEpoch(spark, log.filter(_.epoch == e), e)
@@ -58,7 +62,9 @@ object CdcDemo {
     println(f"replay: $replaySec%.1fs, row_sha256 diffs = $diff (expect 0)")
 
     println(s"\nwarehouse: $dir")
-    println(s"manifest: ${eng.transfers.latestManifest().get.metadata}")
+    val last = eng.transfers.latestManifest().get
+    println(s"manifest metadata: ${last.metadata}")
+    println(s"manifest lineage:  ${last.lineage}")
     spark.stop()
     if (diff != 0) sys.exit(1)
   }

@@ -125,12 +125,38 @@ class E2eGoldenSpec extends SparkSpec {
     }
     assert(!regen, "goldens regenerated — rerun without GRAFT_REGEN_GOLDEN")
 
-    // exact metadata-map parity (reference asserts every file's S3 metadata)
+    // exact metadata-map parity: the reference asserts every output file's
+    // full S3 metadata dict (tests/e2e/test_transfer_classifier.py:259-267,
+    // values from spine_runner.py:39-47) — assert the engine manifest's
+    // complete map the same way
     val eng = new CdcEngine(tmpDir("e2e-lake"), numBuckets = 4,
-      cutoffMicros = window.cutoffMicros)
+      cutoffMicros = window.cutoffMicros,
+      window = Some(window), odsMetadataMonth = Some(201912),
+      dimMonths = Some(Set(201911, 201912)))
     eng.applyEpoch(spark, events, 0L)
     val m = eng.transfers.latestManifest().get
-    assert(m.metadata == Map("cutoff-days" -> "14", "build-tag" -> "graft-cdc-v1"))
+    assert(m.metadata == Map(
+      "cutoff-days" -> "14",
+      "build-tag" -> "graft-cdc-v1",
+      "start-datetime" -> "2019-12-02T00:00:00+00:00",
+      "end-datetime" -> "2019-12-05T00:00:00+00:00",
+      "ods-metadata-month" -> "2019-12"))
+    // dim snapshots exist for every request month → zero missing-dim rows
+    assert(m.lineage.get("missingDimMonthTransfers").contains(0L), s"${m.lineage}")
+
+    // both the request month AND its previous month lacking a dim snapshot
+    // is the case where the reference raises OdsMetadataNotFound
+    // (organisation_metadata_monthly.py:26-34) — the engine surfaces it as
+    // a lineage counter instead of null-padding silently
+    val engMiss = new CdcEngine(tmpDir("e2e-lake-miss"), numBuckets = 4,
+      cutoffMicros = window.cutoffMicros,
+      window = Some(window), odsMetadataMonth = Some(201910),
+      dimMonths = Some(Set(201909, 201910)))
+    engMiss.applyEpoch(spark, events, 0L)
+    val mm = engMiss.transfers.latestManifest().get
+    // every classified transfer in the fixture is requested in 2019-12
+    assert(mm.lineage.get("missingDimMonthTransfers").exists(_ >= 3L),
+      s"${mm.lineage}")
   }
 }
 
