@@ -230,6 +230,11 @@ final class CdcEngine(
       * `missingDimMonthTransfers` next to the other observability counters.
       */
     val dimMonths: Option[Set[Int]] = None,
+    /** false ⇒ epoch applies never compact inline; run `maintain()` out of
+      * band (its own epochs) so ingest commit latency stays flat instead of
+      * spiking when a bucket crosses its compaction threshold.
+      */
+    val inlineCompaction: Boolean = true,
 ) {
   val state = new LakeTable(s"$warehouse/state", numBuckets,
     keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"))
@@ -345,12 +350,20 @@ final class CdcEngine(
         .groupBy("__bucket").agg(
           sum("isE").as("e"), sum("isT").as("t"),
           sum("da").as("da"), sum("up").as("up"),
-          sum("ns").as("ns"), sum("dd").as("dd"), sum("md").as("md"))
+          sum("ns").as("ns"), sum("dd").as("dd"), sum("md").as("md"),
+          // per-bucket repo bounds per sink — the manifests' record-level
+          // pruning index (repo is the first key column of both tables)
+          min(when(col("isE") === 1L, col("repo"))).as("emn"),
+          max(when(col("isE") === 1L, col("repo"))).as("emx"),
+          min(when(col("isT") === 1L, col("repo"))).as("tmn"),
+          max(when(col("isT") === 1L, col("repo"))).as("tmx"))
         .collect()
-      val eventCounts = summary.map(r => r.getInt(0) -> r.getLong(1))
-        .filter(_._2 > 0).toMap
-      val transferCounts = summary.map(r => r.getInt(0) -> r.getLong(2))
-        .filter(_._2 > 0).toMap
+      val eventStats = summary.filter(_.getLong(1) > 0).map(r =>
+        r.getInt(0) -> graft.lake.BucketStats(r.getLong(1),
+          Option(r.getString(8)), Option(r.getString(9)))).toMap
+      val transferStats = summary.filter(_.getLong(2) > 0).map(r =>
+        r.getInt(0) -> graft.lake.BucketStats(r.getLong(2),
+          Option(r.getString(10)), Option(r.getString(11)))).toMap
       def total(i: Int): Long = summary.map(_.getLong(i)).sum
 
       val lineage = Map(
@@ -377,7 +390,7 @@ final class CdcEngine(
       // assumeNew: the fold already guarantees first-seen-only events.
       state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
         touchedBuckets = Some(touched), assumeNew = true,
-        precomputedCounts = Some(eventCounts))
+        precomputedStats = Some(eventStats), compactInline = inlineCompaction)
       // observability parity with the reference's log probes: dangling-ack /
       // unknown-purpose / negative-SLA counts land in manifest lineage
       val tLineage = lineage ++ Map(
@@ -392,7 +405,8 @@ final class CdcEngine(
       if (morTransfers)
         transfers.mergeDelta(upserts, epoch,
           metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
-          precomputedCounts = if (sameBucketing) Some(transferCounts) else None)
+          precomputedStats = if (sameBucketing) Some(transferStats) else None,
+          compactInline = inlineCompaction)
       else
         transfers.merge(upserts, epoch,
           metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
@@ -406,6 +420,16 @@ final class CdcEngine(
   def rebucket(spark: SparkSession, newNumBuckets: Int, epoch: Long): Unit = {
     state.rebucket(spark, newNumBuckets, epoch)
     transfers.rebucket(spark, newNumBuckets, epoch)
+  }
+
+  /** Out-of-band maintenance: compact both tables' over-threshold buckets as
+    * their own commit epoch (same number on both chains, like applyEpoch).
+    * Pair with `inlineCompaction = false` so ingest epochs never pay the
+    * rewrite; a no-op (no commit) on a table with nothing over threshold.
+    */
+  def maintain(spark: SparkSession, epoch: Long): Unit = {
+    state.compact(spark, epoch)
+    transfers.compact(spark, epoch)
   }
 
   /** Replay the full change log from scratch into a fresh warehouse dir and

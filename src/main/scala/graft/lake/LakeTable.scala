@@ -22,7 +22,21 @@ final case class FileEntry(
     bucket: Int,
     rows: Long,
     epochAdded: Long,
+    /** Min/max of the FIRST key column over this file set (string-keyed
+      * tables only; None otherwise or for pre-bounds manifests). Spark's
+      * min/max on StringType order by UTF8String binary comparison, and
+      * readers prune with the same comparator — record-level pruning WITHIN
+      * a bucket, so point lookups and merge-on-read resolution open only the
+      * files whose key range can contain the probe. Bounds derived for
+      * compaction rewrites (min-of-mins/max-of-maxs) are a superset of the
+      * true range — safe to prune with, never to prove membership.
+      */
+    min0: Option[String] = None,
+    max0: Option[String] = None,
 )
+
+/** Per-bucket write statistics: exact row count + first-key-column bounds. */
+final case class BucketStats(rows: Long, min0: Option[String], max0: Option[String])
 final case class Manifest(
     epoch: Long,
     parentEpoch: Long, // -1 for first
@@ -84,6 +98,15 @@ final class LakeTable(
       * deterministically (replay-stable).
       */
     val compactThreshold: Int = 8,
+    /** Change-stream retention horizon, in epochs: compaction (inline or via
+      * `compact()`) leaves files added within the last `changeRetention`
+      * epochs untouched, so a `changesSince` consumer lagging by at most this
+      * many epochs still sees every intermediate row version. Older versions
+      * are resolved away by compaction (the change stream truncates to the
+      * latest surviving version per key beyond the horizon) — the standard
+      * lake-format trade; 0 = compact everything eligible.
+      */
+    val changeRetention: Int = 0,
 ) {
   private val bucketCols: Seq[String] = if (bucketColumns.nonEmpty) bucketColumns else keyColumns
   private val mapper = new ObjectMapper()
@@ -120,9 +143,15 @@ final class LakeTable(
     else {
       val m = mapper.readValue(Files.readAllBytes(p), classOf[Manifest])
       // Jackson erases Map[String, Long] values to Integer for small
-      // numbers; renormalize so callers can unbox lineage counters
-      Some(m.copy(lineage = m.lineage.asInstanceOf[Map[String, Any]]
-        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }))
+      // numbers; renormalize so callers can unbox lineage counters. Pre-
+      // bounds manifests (and absent Option fields generally) deserialize
+      // to null, not None — renormalize those too.
+      Some(m.copy(
+        lineage = m.lineage.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[Number].longValue },
+        files = m.files.map(f => f.copy(
+          min0 = if (f.min0 == null) None else f.min0,
+          max0 = if (f.max0 == null) None else f.max0))))
     }
   }
 
@@ -152,18 +181,34 @@ final class LakeTable(
   private def saltCol: Column =
     pmod(xxhash64((keyColumns.map(col) :+ lit("salt")): _*), lit(saltFactor)).cast("int")
 
+  /** File-level key-bounds check with Spark's own string comparator
+    * (UTF8String binary order — what min/max on StringType produced):
+    * can this file contain first-key-column value `v`? Missing bounds ⇒ yes.
+    */
+  private def mayContain(f: FileEntry, v: String): Boolean = {
+    val probe = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    f.min0.forall(mn =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(mn).compareTo(probe) <= 0) &&
+      f.max0.forall(mx =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(mx).compareTo(probe) >= 0)
+  }
+
   /** Current snapshot as a DataFrame (bucket-pruned when `buckets` given).
     * Merge-on-read tables resolve last-writer-wins per key, but ONLY over
     * buckets holding >1 live file — freshly-compacted / single-commit
-    * buckets read straight through with no window shuffle.
+    * buckets read straight through with no window shuffle. `key0` prunes by
+    * the per-file first-key-column bounds on top of bucket pruning (point
+    * reads open only the files whose range can hold the key).
     */
   def snapshot(spark: SparkSession, asOf: Long = Long.MaxValue,
-               buckets: Option[Set[Int]] = None): DataFrame = {
+               buckets: Option[Set[Int]] = None,
+               key0: Option[String] = None): DataFrame = {
     manifestAsOf(asOf) match {
       case None => spark.emptyDataFrame
       case Some(m) =>
         val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-        val live = buckets.fold(m.files)(bs => m.files.filter(f => bs.contains(f.bucket)))
+        val bucketLive = buckets.fold(m.files)(bs => m.files.filter(f => bs.contains(f.bucket)))
+        val live = key0.fold(bucketLive)(v => bucketLive.filter(f => mayContain(f, v)))
         if (live.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else if (!mergeOnRead) spark.read.schema(schema)
@@ -188,6 +233,106 @@ final class LakeTable(
   /** Per-bucket compaction threshold in [compactThreshold, 2·compactThreshold). */
   private def effectiveThreshold(bucket: Int): Int =
     compactThreshold + (bucket % compactThreshold)
+
+  /** ONE aggregation job: per-bucket row counts + first-key-column bounds
+    * (bounds only for string-keyed tables — same job either way).
+    */
+  private def bucketStatsOf(df: DataFrame): Map[Int, BucketStats] = {
+    val k0 = keyColumns.head
+    val stringKey = df.schema.fields
+      .find(_.name == k0).exists(_.dataType == org.apache.spark.sql.types.StringType)
+    if (stringKey)
+      df.groupBy("__bucket")
+        .agg(count(lit(1)).as("n"), min(k0).as("mn"), max(k0).as("mx"))
+        .collect()
+        .map(r => r.getInt(0) -> BucketStats(r.getLong(1), Option(r.getString(2)),
+          Option(r.getString(3)))).toMap
+    else
+      df.groupBy("__bucket").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> BucketStats(r.getLong(1), None, None)).toMap
+  }
+
+  private def entriesFor(dirRel: String, epoch: Long,
+                         stats: Map[Int, BucketStats]): Seq[FileEntry] =
+    stats.toSeq.sortBy(_._1).map { case (b, s) =>
+      FileEntry(s"$dirRel/__bucket=$b", b, s.rows, epoch, s.min0, s.max0)
+    }
+
+  /** Rewrite each over-threshold bucket's COMPACTABLE files (older than the
+    * `changeRetention` horizon) into one file set. `resolve` = drop
+    * superseded key versions (merge-on-read tables); append-only tables
+    * concatenate. Row counts for the concat path come from the manifest (no
+    * job); the resolve path recounts. Bounds are derived min-of-mins /
+    * max-of-maxs — a superset of the true range after resolution, which is
+    * safe for pruning. Returns the updated live-file list, or `files`
+    * unchanged when nothing crosses its threshold.
+    */
+  private def compactOverfull(spark: SparkSession, files: Seq[FileEntry],
+                              schema: StructType, epoch: Long,
+                              resolve: Boolean): Seq[FileEntry] = {
+    val horizon = epoch - changeRetention
+    val overfull = files.groupBy(_.bucket).filter { case (b, fs) =>
+      fs.count(_.epochAdded <= horizon) > effectiveThreshold(b)
+    }.keySet
+    if (overfull.isEmpty) return files
+    val cInput = files.filter(f => overfull.contains(f.bucket) && f.epochAdded <= horizon)
+    val cDirRel = f"data/e$epoch%012dc"
+    val withEpochSchema = schema.add(StructField("__epoch", LongType, nullable = true))
+    val raw = spark.read.schema(withEpochSchema)
+      .parquet(cInput.map(f => s"$root/${f.path}"): _*)
+    val rewritten = (if (resolve) resolveLatest(raw) else raw)
+      .withColumn("__bucket", bucketCol)
+    rewritten
+      .repartition(math.max(1, math.min(currentNumBuckets, overfull.size)) * saltFactor,
+        col("__bucket"), saltCol)
+      .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(s"$root/$cDirRel")
+    val inByBucket = cInput.groupBy(_.bucket)
+    val rowsByBucket: Map[Int, Long] =
+      if (resolve) spark.read.parquet(s"$root/$cDirRel")
+        .groupBy("__bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else inByBucket.map { case (b, fs) => b -> fs.map(_.rows).sum }
+    val cEntries = rowsByBucket.toSeq.sortBy(_._1).map { case (b, rows) =>
+      val ins = inByBucket(b)
+      // derived bounds: only when every input carries bounds
+      val mn = if (ins.forall(_.min0.isDefined)) Some(ins.flatMap(_.min0).min) else None
+      val mx = if (ins.forall(_.max0.isDefined)) Some(ins.flatMap(_.max0).max) else None
+      FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch, mn, mx)
+    }
+    (files.filterNot(cInput.contains) ++ cEntries).sortBy(_.bucket)
+  }
+
+  /** Standalone maintenance compaction, committed as its OWN epoch — run it
+    * out of band (a maintenance thread / scheduled job) so ingest commits
+    * never pay the compaction rewrite inline and epoch latency stays flat.
+    * No-op (returns the parent manifest WITHOUT committing) when no bucket
+    * is over threshold. Exactly-once like every commit.
+    */
+  def compact(spark: SparkSession, epoch: Long): Manifest = {
+    if (Files.exists(manifestPath(epoch)))
+      return manifestAt(epoch).get
+    val parent = latestManifest().getOrElse(
+      throw new IllegalStateException("compact requires an existing table"))
+    require(parent.epoch < epoch, s"epoch $epoch not after ${parent.epoch}")
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val files = compactOverfull(spark, parent.files, schema, epoch, resolve = mergeOnRead)
+    if (files eq parent.files) return parent
+    val manifest = Manifest(
+      epoch = epoch,
+      parentEpoch = parent.epoch,
+      schemaId = parent.schemaId,
+      schemaJson = parent.schemaJson,
+      keyColumns = keyColumns,
+      numBuckets = parent.numBuckets,
+      files = files,
+      metadata = parent.metadata,
+      lineage = Map("totalRows" -> files.map(_.rows).sum, "compaction" -> 1L),
+    )
+    writeManifestAtomically(manifest)
+    manifest
+  }
 
   /** Last-writer-wins per key: one row per key per epoch is guaranteed by
     * the one-commit-per-epoch manifest protocol, so (key, __epoch desc) has
@@ -234,7 +379,7 @@ final class LakeTable(
     val (rewritten, carried) = oldLive.partition(f => touched.contains(f.bucket))
 
     val epochDirRel = f"data/e$epoch%012d"
-    val result: Map[Int, Long] = if (touched.nonEmpty) {
+    val result: Map[Int, BucketStats] = if (touched.nonEmpty) {
       val existingKept =
         if (rewritten.isEmpty) None
         else {
@@ -270,16 +415,13 @@ final class LakeTable(
       mergedRows.write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket")
         .parquet(s"$root/$epochDirRel")
-      // per-bucket row counts for the manifest: recomputed from the SAME
+      // per-bucket stats for the manifest: recomputed from the SAME
       // deterministic plan (callers cache the expensive upstream), which is
       // cheaper than re-reading the just-written files
-      mergedRows.groupBy("__bucket").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      bucketStatsOf(mergedRows)
     } else Map.empty
 
-    val newFiles = result.toSeq.sortBy(_._1).map { case (b, rows) =>
-      FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
-    }
+    val newFiles = entriesFor(epochDirRel, epoch, result)
     val files = (carried ++ newFiles).sortBy(_.bucket)
     val manifest = Manifest(
       epoch = epoch,
@@ -335,11 +477,16 @@ final class LakeTable(
                  metadata: Map[String, String] = Map.empty,
                  lineage: Map[String, Long] = Map.empty,
                  touchedBuckets: Option[Set[Int]] = None,
-                 /** Per-bucket row counts of `upserts` when the caller
-                   * already computed them (must be exact — they become the
-                   * manifest counts); saves one aggregation job per commit.
+                 /** Per-bucket stats of `upserts` when the caller already
+                   * computed them (must be exact — they become the manifest
+                   * counts/bounds); saves one aggregation job per commit.
                    */
-                 precomputedCounts: Option[Map[Int, Long]] = None): Manifest = {
+                 precomputedStats: Option[Map[Int, BucketStats]] = None,
+                 /** false ⇒ skip inline compaction; the caller runs
+                   * `compact()` as its own maintenance epochs so ingest
+                   * commit latency stays flat.
+                   */
+                 compactInline: Boolean = true): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return manifestAt(epoch).get
 
@@ -355,7 +502,7 @@ final class LakeTable(
       withBucket.select("__bucket").distinct().collect().map(_.getInt(0)).toSet)
 
     val epochDirRel = f"data/e$epoch%012d"
-    val counts: Map[Int, Long] =
+    val stats: Map[Int, BucketStats] =
       if (touched.isEmpty) Map.empty
       else {
         withBucket
@@ -364,43 +511,18 @@ final class LakeTable(
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
-        // counts recomputed from the same deterministic plan (no read-back);
+        // stats recomputed from the same deterministic plan (no read-back);
         // a bucket with zero rows leaves no dir and gets no entry
-        precomputedCounts.getOrElse(
-          withBucket.groupBy("__bucket").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        precomputedStats.getOrElse(bucketStatsOf(withBucket))
       }
-    val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
-      FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
-    }
-    var files = (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).sortBy(_.bucket)
+    var files = (parent.map(_.files).getOrElse(Seq.empty) ++
+      entriesFor(epochDirRel, epoch, stats)).sortBy(_.bucket)
 
-    // compact over-threshold buckets: read their live files, resolve the
-    // per-key winners, rewrite as one file set (per-row __epoch preserved)
-    val overfull = files.groupBy(_.bucket)
-      .filter { case (b, fs) => fs.size > effectiveThreshold(b) }.keySet
-    if (overfull.nonEmpty) {
-      val cDirRel = f"data/e$epoch%012dc"
-      val cInput = files.filter(f => overfull.contains(f.bucket))
-      val withEpochSchema = mergedSchema.add(StructField("__epoch", LongType, nullable = true))
-      val resolved = resolveLatest(
-        spark.read.schema(withEpochSchema)
-          .parquet(cInput.map(f => s"$root/${f.path}"): _*))
-        .withColumn("__bucket", bucketCol)
-      resolved
-        .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), overfull.size)) * saltFactor,
-          col("__bucket"), saltCol)
-        .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
-        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-        .parquet(s"$root/$cDirRel")
-      val cCounts = spark.read.parquet(s"$root/$cDirRel")
-        .groupBy("__bucket").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      files = (files.filterNot(f => overfull.contains(f.bucket)) ++
-        cCounts.toSeq.sortBy(_._1).map { case (b, rows) =>
-          FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch)
-        }).sortBy(_.bucket)
-    }
+    // compact over-threshold buckets: read their compactable live files,
+    // resolve the per-key winners, rewrite as one file set (per-row __epoch
+    // preserved) — unless the caller runs compact() out of band
+    if (compactInline)
+      files = compactOverfull(spark, files, mergedSchema, epoch, resolve = true)
 
     val manifest = Manifest(
       epoch = epoch,
@@ -435,11 +557,13 @@ final class LakeTable(
                   * prior-keys anti-join read entirely.
                   */
                 assumeNew: Boolean = false,
-                /** Exact per-bucket counts of the rows that will be written
+                /** Exact per-bucket stats of the rows that will be written
                   * (only valid with assumeNew — the anti-join may drop rows
                   * the caller can't see); saves one aggregation job.
                   */
-                precomputedCounts: Option[Map[Int, Long]] = None): Manifest = {
+                precomputedStats: Option[Map[Int, BucketStats]] = None,
+                /** false ⇒ skip inline compaction (see mergeDelta). */
+                compactInline: Boolean = true): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return manifestAt(epoch).get
 
@@ -471,7 +595,7 @@ final class LakeTable(
       withBucket.join(pk, keyColumns, "left_anti"))
 
     val epochDirRel = f"data/e$epoch%012d"
-    val counts: Map[Int, Long] =
+    val stats: Map[Int, BucketStats] =
       if (touched.isEmpty) Map.empty
       else {
         fresh
@@ -480,45 +604,22 @@ final class LakeTable(
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
-        // counts recomputed from the same deterministic plan (no read-back);
+        // stats recomputed from the same deterministic plan (no read-back);
         // pure-redelivery batches count to nothing and add no entries
-        precomputedCounts.filter(_ => assumeNew).getOrElse(
-          fresh.groupBy("__bucket").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        precomputedStats.filter(_ => assumeNew).getOrElse(bucketStatsOf(fresh))
       }
-    val newFiles = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
-      FileEntry(s"$epochDirRel/__bucket=$b", b, rows, epoch)
-    }
-    var files = (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).sortBy(_.bucket)
+    var files = (parent.map(_.files).getOrElse(Seq.empty) ++
+      entriesFor(epochDirRel, epoch, stats)).sortBy(_.bucket)
 
     // append-only tables accumulate one file set per touching epoch per
     // bucket — after many epochs a bucket read would open thousands of
     // files. Compact over-threshold buckets by concatenation (rows are
-    // unique by key already — no resolution needed).
-    val overfull = files.groupBy(_.bucket)
-      .filter { case (b, fs) => fs.size > effectiveThreshold(b) }.keySet
-    if (overfull.nonEmpty) {
-      val cDirRel = f"data/e$epoch%012dc"
-      val cInput = files.filter(f => overfull.contains(f.bucket))
-      val baseSchema = DataType.fromJson(
-        parent.map(_.schemaJson).getOrElse(upserts.schema.json)).asInstanceOf[StructType]
-      val rewritten = spark.read
-        // keep the per-row commit stamp through the rewrite
-        .schema(baseSchema.add(StructField("__epoch", LongType, nullable = true)))
-        .parquet(cInput.map(f => s"$root/${f.path}"): _*)
-        .withColumn("__bucket", bucketCol)
-      rewritten
-        .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), overfull.size)) * saltFactor,
-          col("__bucket"), saltCol)
-        .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
-        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-        .parquet(s"$root/$cDirRel")
-      val cCounts = cInput.groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.rows).sum }
-      files = (files.filterNot(f => overfull.contains(f.bucket)) ++
-        cCounts.toSeq.sortBy(_._1).map { case (b, rows) =>
-          FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch)
-        }).sortBy(_.bucket)
-    }
+    // unique by key already — no resolution needed), unless the caller
+    // runs compact() out of band.
+    val baseSchema = DataType.fromJson(
+      parent.map(_.schemaJson).getOrElse(upserts.schema.json)).asInstanceOf[StructType]
+    if (compactInline)
+      files = compactOverfull(spark, files, baseSchema, epoch, resolve = false)
 
     val manifest = Manifest(
       epoch = epoch,
@@ -538,27 +639,42 @@ final class LakeTable(
   /** Point lookup — the O(one bucket) read primitive a CDC-maintained table
     * serves: the bucket id is computed DRIVER-SIDE by evaluating the same
     * Catalyst hash expression the writers use, so the read opens only that
-    * bucket's files (manifest-pruned, no listing) and the key equality
-    * pushes into the parquet scan, where the within-bucket key sort gives
-    * row-group min/max pruning. Merge-on-read resolution applies as usual.
-    * `key` must bind every bucket column (extra key columns just filter).
-    * Like all bucket-pruned reads, the id targets the HEAD bucket count —
-    * time travel across a rebucket should read unpruned snapshots.
+    * bucket's files (manifest-pruned, no listing; within the bucket the
+    * per-file key bounds prune further) and the key equality pushes into the
+    * parquet scan, where the within-bucket key sort gives row-group min/max
+    * pruning. Merge-on-read resolution applies as usual. `key` must bind
+    * every bucket column (extra key columns just filter). The bucket id
+    * targets the AS-OF manifest's bucket count, so time travel across a
+    * rebucket resolves against the layout that was live then; each probe
+    * value is cast to the table schema's column type before hashing (a
+    * Scala Int probed at a LongType column would otherwise hash differently
+    * and silently return empty).
     */
   def lookup(spark: SparkSession, key: Map[String, Any],
              asOf: Long = Long.MaxValue): DataFrame = {
     require(bucketCols.forall(key.contains),
       s"lookup must bind all bucket columns $bucketCols, got ${key.keySet}")
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
-    val hash = XxHash64(bucketCols.map(c => Literal(key(c))), 42L) // functions.xxhash64 seed
-    val bucket = Pmod(hash, Literal(currentNumBuckets.toLong))
-      .eval().asInstanceOf[Long].toInt
-    key.foldLeft(snapshot(spark, asOf, buckets = Some(Set(bucket)))) {
-      case (df, (k, v)) => df.filter(col(k) === lit(v))
+    manifestAsOf(asOf) match {
+      case None => spark.emptyDataFrame
+      case Some(m) =>
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+        val hash = XxHash64(bucketCols.map { c =>
+          Cast(Literal(key(c)), schema(c).dataType)
+        }, 42L) // functions.xxhash64 seed
+        val bucket = Pmod(hash, Literal(m.numBuckets.toLong))
+          .eval().asInstanceOf[Long].toInt
+        val key0 = keyColumns.headOption
+          .filter(k0 => key.contains(k0) &&
+            schema(k0).dataType == org.apache.spark.sql.types.StringType)
+          .map(k0 => key(k0).toString)
+        key.foldLeft(snapshot(spark, asOf, buckets = Some(Set(bucket)), key0 = key0)) {
+          case (df, (k, v)) => df.filter(col(k) === lit(v))
+        }
     }
   }
 
-  /** Incremental (CDC) read: every row VERSION committed in
+  /** Incremental (CDC) read: every SURVIVING row version committed in
     * `(sinceEpoch, asOf]` — the change stream a downstream consumer tails
     * instead of re-reading snapshots. File pruning first (a file written at
     * epoch e only holds rows stamped ≤ e, so `epochAdded > since` is a
@@ -566,6 +682,16 @@ final class LakeTable(
     * row-level `__epoch` filter, which parquet min/max stats also prune.
     * Rows from files predating the per-row stamp (legacy) read as null and
     * are excluded. The result carries a `_commit_epoch` column.
+    *
+    * Compaction semantics: merge-on-read compaction resolves last-writer-
+    * wins and physically DROPS superseded versions, so a consumer whose
+    * `sinceEpoch` predates the last compaction sees only the latest
+    * surviving version of each key, not every intermediate one (the
+    * standard lake-format CDC trade). Set `changeRetention` > the maximum
+    * consumer lag to keep intermediate versions readable. On a table with
+    * no commits yet the change stream's schema is unknown — this returns a
+    * zero-column empty DataFrame; gate on `latestManifest().isDefined`
+    * before selecting columns.
     */
   def changesSince(spark: SparkSession, sinceEpoch: Long,
                    asOf: Long = Long.MaxValue): DataFrame = {
@@ -619,11 +745,7 @@ final class LakeTable(
       .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(s"$root/$dirRel")
-    val counts = rewritten.groupBy("__bucket").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val files = counts.toSeq.sortBy(_._1).map { case (b, rows) =>
-      FileEntry(s"$dirRel/__bucket=$b", b, rows, epoch)
-    }
+    val files = entriesFor(dirRel, epoch, bucketStatsOf(rewritten))
     val manifest = Manifest(
       epoch = epoch,
       parentEpoch = parent.epoch,
@@ -643,14 +765,24 @@ final class LakeTable(
     * REPLACES an existing target, so a racing duplicate-epoch committer
     * would overwrite the first commit — link(2) is equally atomic but fails
     * with EEXIST, making first-commit-wins real. Stale `.tmp` files from
-    * crashed commits are swept first (single writer per table; a duplicate
-    * committer of the SAME epoch writes its own distinctly-named tmp).
+    * crashed commits are swept first, but ONLY when old enough that no live
+    * committer can still own them — two live committers of DIFFERENT epochs
+    * (e.g. a maintenance compaction racing an apply) must not delete each
+    * other's in-flight tmp. Concurrent committers of the SAME epoch still
+    * must not run concurrently (they share the epoch's data directory with
+    * SaveMode.Overwrite — the hard-link guard protects the manifest, not
+    * the files it points to).
     */
   private def writeManifestAtomically(m: Manifest): Unit = {
     Files.createDirectories(manifestDir)
+    val sweepBefore = System.currentTimeMillis() - LakeTable.tmpSweepAgeMs
     listNames(manifestDir).filter(_.endsWith(".tmp")).foreach { stale =>
-      if (stale != s".m${m.epoch}.json.tmp")
-        Files.deleteIfExists(manifestDir.resolve(stale))
+      val p = manifestDir.resolve(stale)
+      val oldEnough =
+        try Files.getLastModifiedTime(p).toMillis < sweepBefore
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      if (stale != s".m${m.epoch}.json.tmp" && oldEnough)
+        Files.deleteIfExists(p)
     }
     val tmp = manifestDir.resolve(s".m${m.epoch}.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
@@ -664,6 +796,11 @@ final class LakeTable(
 }
 
 object LakeTable {
+  /** Stale-tmp sweep horizon: a crashed commit's tmp is reclaimed after this
+    * age; any live commit finishes far sooner.
+    */
+  val tmpSweepAgeMs: Long = 15L * 60 * 1000
+
   /** A snapshot read that hides the internal bucket column. */
   def readSnapshot(t: LakeTable, spark: SparkSession, asOf: Long = Long.MaxValue): DataFrame = {
     val df = t.snapshot(spark, asOf)

@@ -132,6 +132,95 @@ class LakeMorSpec extends SparkSpec {
     assert(m.lineage("totalRows") == 10L)
   }
 
+  test("per-file key bounds prune lookups WITHIN a bucket") {
+    // one bucket: bucket pruning can't help, only the min/max bounds can.
+    // each epoch writes a disjoint key range → disjoint per-file bounds
+    val t = new LakeTable(tmpDir("bounds") + "/t", numBuckets = 1,
+      keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 99)
+    t.mergeDelta((0 until 10).map(i => (f"a$i%02d", 0L)).toDF("k", "v"), epoch = 0L)
+    t.mergeDelta((0 until 10).map(i => (f"b$i%02d", 1L)).toDF("k", "v"), epoch = 1L)
+    t.mergeDelta((0 until 10).map(i => (f"c$i%02d", 2L)).toDF("k", "v"), epoch = 2L)
+    val m = t.latestManifest().get
+    assert(m.files.forall(f => f.min0.isDefined && f.max0.isDefined), s"${m.files}")
+
+    val hit = t.lookup(spark, Map("k" -> "b05"))
+    assert(hit.select("k", "v").as[(String, Long)].collect().toSeq == Seq(("b05", 1L)))
+    // bounds must prune to exactly the one file set whose range holds "b05"
+    val allFiles = LakeTable.readSnapshot(t, spark).inputFiles.length
+    val hitFiles = hit.inputFiles
+    assert(hitFiles.length < allFiles && hitFiles.forall(_.contains("e000000000001")),
+      s"bounds pruning must isolate epoch 1's file: ${hitFiles.mkString(", ")}")
+  }
+
+  test("lookup time travel across a rebucket resolves against the as-of layout") {
+    val t = new LakeTable(tmpDir("lookup-rebucket") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    val keys = (0 until 20).map(i => s"k$i")
+    t.mergeDelta(keys.map(k => (k, 1L)).toDF("k", "v"), epoch = 0L)
+    t.rebucket(spark, newNumBuckets = 16, epoch = 1L)
+    t.mergeDelta(Seq(("k3", 2L)).toDF("k", "v"), epoch = 2L)
+    // HEAD lookup uses the post-rebucket bucket count
+    assert(t.lookup(spark, Map("k" -> "k3"))
+      .select("v").as[Long].collect().toSeq == Seq(2L))
+    // as-of BEFORE the rebucket must hash with the OLD bucket count (a HEAD
+    // count of 16 would usually probe the wrong bucket and return empty)
+    keys.foreach { k =>
+      val got = t.lookup(spark, Map("k" -> k), asOf = 0L)
+        .select("v").as[Long].collect().toSeq
+      assert(got == Seq(1L), s"asOf=0 lookup of $k returned $got")
+    }
+  }
+
+  test("lookup casts the probe literal to the column type before hashing") {
+    val t = new LakeTable(tmpDir("lookup-typed") + "/t", numBuckets = 8,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    t.mergeDelta((0L until 20L).map(i => (i, i * 10)).toDF("k", "v"), epoch = 0L)
+    // an Int probe at a LongType column must hash like the writers did
+    (0 until 20).foreach { i =>
+      val got = t.lookup(spark, Map("k" -> i)).select("v").as[Long].collect().toSeq
+      assert(got == Seq(i * 10L), s"Int probe $i returned $got")
+    }
+  }
+
+  test("changeRetention defers compaction so lagging change consumers keep versions") {
+    val t = new LakeTable(tmpDir("retention") + "/t", numBuckets = 1,
+      keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2,
+      changeRetention = 10)
+    (0L until 8L).foreach(e => t.mergeDelta(Seq(("a", e)).toDF("k", "v"), epoch = e))
+    // every intermediate version of "a" is still readable — compaction was
+    // deferred because all files are within the retention horizon
+    val versions = t.changesSince(spark, sinceEpoch = -1L)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(versions == (0L until 8L).toSeq, s"got $versions")
+    // the same schedule WITHOUT retention truncates to surviving versions
+    val t2 = new LakeTable(tmpDir("retention-off") + "/t", numBuckets = 1,
+      keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2)
+    (0L until 8L).foreach(e => t2.mergeDelta(Seq(("a", e)).toDF("k", "v"), epoch = e))
+    val v2 = t2.changesSince(spark, sinceEpoch = -1L).select("v").as[Long].collect()
+    assert(v2.length < 8 && v2.contains(7L), s"got ${v2.toSeq}")
+  }
+
+  test("out-of-band compact() bounds files as its own commit; ingest skips inline") {
+    val t = new LakeTable(tmpDir("async-compact") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2)
+    (0L until 8L).foreach(e =>
+      t.mergeDelta(Seq(("a", e), (s"k$e", e)).toDF("k", "v"), epoch = e,
+        compactInline = false))
+    val before = t.latestManifest().get.files.groupBy(_.bucket).map(_._2.size).max
+    assert(before > 4, s"inline compaction must be off (max files/bucket $before)")
+    val want = LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet
+
+    val m = t.compact(spark, epoch = 100L)
+    assert(m.epoch == 100L && m.lineage.get("compaction").contains(1L))
+    val after = t.latestManifest().get.files.groupBy(_.bucket).map(_._2.size).max
+    assert(after <= 4, s"compact() must bound files/bucket: $after")
+    assert(LakeTable.readSnapshot(t, spark).as[(String, Long)].collect().toSet == want)
+    // idempotent: re-running the same maintenance epoch is a no-op
+    assert(t.compact(spark, epoch = 100L).epoch == 100L)
+    // nothing over threshold now → no new commit
+    assert(t.compact(spark, epoch = 101L).epoch == 100L)
+  }
+
   test("schema evolution through delta commits: old rows null-fill, resolution holds") {
     val t = new LakeTable(tmpDir("mor-evo") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), mergeOnRead = true)
