@@ -99,9 +99,22 @@ object CdcPipeline {
       if (e.offset > maxOff) maxOff = e.offset
       msgs += MessageParser.parse(e.content)
     }
-    // pre-sort by (time, offset): classify()'s stable time sort then keeps
-    // the offset tiebreak — a deterministic total order, replay-safe
-    val ordered = msgs.result().sortBy(_.timeMicros)
+    classifyParsed(repo, msgs.result(), cutoffMicros,
+      eventCount = deduped.length.toLong, dupes = dupes,
+      minOff = minOff, maxOff = maxOff)
+  }
+
+  /** Classify an ALREADY-deduped parsed session, presented in
+    * (eventTs, offset) order — shared tail of the batch fold (which dedups
+    * raw events then parses) and the streaming state path (which stores
+    * PARSED messages so session state never holds content payloads). The
+    * stable time sort here keeps the caller's offset tiebreak — the same
+    * deterministic total order on both paths.
+    */
+  def classifyParsed(repo: String, msgs: Seq[SpineMessage], cutoffMicros: Long,
+                     eventCount: Long, dupes: Long,
+                     minOff: Long, maxOff: Long): Option[TransferRecord] = {
+    val ordered = msgs.sortBy(_.timeMicros)
     val counters = new graft.classifier.Gp2gpSession.Counters
     TransferClassifier.classify(ordered, cutoffMicros, counters).map { t =>
       TransferRecord(
@@ -120,7 +133,7 @@ object CdcPipeline {
         dateRequestedMicros = t.dateRequestedMicros,
         dateCompletedMicros = t.dateCompletedMicros,
         lastSenderMessageTimestampMicros = t.lastSenderMessageTimestampMicros,
-        eventCount = deduped.length.toLong,
+        eventCount = eventCount,
         duplicatesDropped = dupes,
         minOffset = minOff,
         maxOffset = maxOff,

@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * This sits in the hot loop of every similarity operator: brute-force
   * scoring (Q×N evaluations) and the exact verification of LSH candidate
   * pairs.
+  *
+  * Known divergence from the HOF formulation: a genuinely-computed NaN —
+  * an all-zero (or empty) vector gives 0/0 — maps to SQL null here (NaN is
+  * this expression's null sentinel) while the HOF chain emits NaN. Filters
+  * like `sim >= t` agree either way (NaN comparisons are false, null rows
+  * drop); only the emitted value differs, and zero/NaN vectors are outside
+  * the similarity operators' documented domain.
   */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.cdc.{CdcPipeline, ChangeEvent, TransferRecord}
+import graft.cdc.{CdcPipeline, ChangeEvent, MessageParser, TransferRecord}
+import graft.classifier.SpineMessage
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -29,8 +30,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPipeline {
 
-  /** Per-key state: the deduped event buffer (first-seen offset wins). */
-  final case class SessionState(events: Seq[ChangeEvent], emittedCount: Long)
+  /** One deduped, ALREADY-PARSED session event in state: the fixed-width
+    * SpineMessage plus the dedup/order key (commit, offset, epoch, eventTs).
+    * Raw `content` payloads are parsed once on arrival and never stored —
+    * per-session state stays small no matter how large the wire messages
+    * are (the state store is the scarce resource at 100× keys).
+    */
+  final case class StoredMsg(commit: String, offset: Long, epoch: Long,
+                             eventTs: Long, msg: SpineMessage)
+
+  /** Per-key state: the deduped parsed-event buffer (first-seen offset wins). */
+  final case class SessionState(msgs: Seq[StoredMsg], emittedCount: Long)
 
   def classifyStream(
       events: Dataset[ChangeEvent],
@@ -57,25 +67,26 @@ object StreamingPipeline {
             state.remove()
             Iterator.empty
           } else {
-            val prior = if (state.exists) state.get.events else Seq.empty[ChangeEvent]
+            val prior = if (state.exists) state.get.msgs else Seq.empty[StoredMsg]
             // dedup against prior state: first-seen (min offset, then min
             // epoch) wins — idempotent under redelivery, same rule as the
-            // batch state table. `changed` tracks whether anything new
-            // landed, replacing a full prior-vs-merged vector compare.
-            val byCommit = scala.collection.mutable.LinkedHashMap.empty[String, ChangeEvent]
-            prior.foreach(e => byCommit.update(e.commit, e))
+            // batch state table. Incoming events are parsed HERE, once, and
+            // only the parsed form enters state. `changed` tracks whether
+            // anything new landed, replacing a full vector compare.
+            val byCommit = scala.collection.mutable.LinkedHashMap.empty[String, StoredMsg]
+            prior.foreach(s => byCommit.update(s.commit, s))
             var changed = false
             incoming.foreach { e =>
-              byCommit.get(e.commit) match {
+              val keep = byCommit.get(e.commit) match {
                 case Some(prev) =>
-                  if (e.offset < prev.offset ||
-                      (e.offset == prev.offset && e.epoch < prev.epoch)) {
-                    byCommit.update(e.commit, e)
-                    changed = true
-                  }
-                case None =>
-                  byCommit.update(e.commit, e)
-                  changed = true
+                  e.offset < prev.offset ||
+                    (e.offset == prev.offset && e.epoch < prev.epoch)
+                case None => true
+              }
+              if (keep) {
+                byCommit.update(e.commit, StoredMsg(e.commit, e.offset, e.epoch,
+                  e.tsMicros, MessageParser.parse(e.content)))
+                changed = true
               }
             }
             if (!changed) Iterator.empty // pure redelivery: no re-emit
@@ -83,11 +94,17 @@ object StreamingPipeline {
               val merged = byCommit.values.toVector
               state.update(SessionState(merged,
                 (if (state.exists) state.get.emittedCount else 0L) + 1L))
-              val startMicros = merged.iterator.map(_.tsMicros).min
+              val startMicros = merged.iterator.map(_.eventTs).min
               val horizonMs = startMicros / 1000L + cutoffMicros / 1000L + 1L
               state.setTimeoutTimestamp(
                 math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
-              CdcPipeline.classifyGroup(repo, merged.iterator, cutoffMicros).iterator
+              // same (eventTs, offset) pre-order as the batch fold, then the
+              // shared classify tail — batch/stream parity by construction
+              val ordered = merged.sortBy(s => (s.eventTs, s.offset))
+              CdcPipeline.classifyParsed(repo, ordered.map(_.msg), cutoffMicros,
+                eventCount = merged.size.toLong, dupes = 0L,
+                minOff = merged.iterator.map(_.offset).min,
+                maxOff = merged.iterator.map(_.offset).max).iterator
             }
           }
       }
