@@ -227,7 +227,7 @@ object SparkEntry {
     // the planted-pair OpsSpec test) ----
     "d08_simhash_dups" -> ((s, d) =>
       TextOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .select(col("a"), col("b"), col("hamming"))),
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
 
     // ---- similarity: brute-force cosine top-k (baseline ANN). Oracle-able:
     // adjacent top-6 similarity gaps on the fixture are ≥ 2e-4, far above
@@ -247,7 +247,7 @@ object SparkEntry {
       val cells = VectorOps.assignCells(emb, "vec_id", "embedding", model)
       VectorOps.ivfTopK(cells, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         model, k = 5, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
     // ---- similarity: product-quantized top-k (memory-bound scale path —
@@ -259,7 +259,7 @@ object SparkEntry {
       val enc = VectorOps.pqEncode(emb, "embedding", model)
       VectorOps.pqTopK(enc, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         model, k = 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
     // ---- embedding near-dup pairs (banded sign-sketch LSH + exact verify).
@@ -656,6 +656,20 @@ object SparkEntry {
            ('Technical failure',    'Contains fatal sender error',                 5),
            ('Unclassified failure', 'Transferred, not integrated, with error',     6)
          ) AS t(status, "failureReason", n)""",
+    // ---- pinned VALUES goldens (graft.goldens.Goldens, generated by
+    // graft.tools.GoldenGen at sf0.01): deterministic engine-specific
+    // outputs DuckDB can't recompute relationally — xxhash64 sketches
+    // (d06/d08), seeded-k-means ANN (e02/e04), and the CDC engine's own
+    // classified/enriched tables (c01/c02, already content-pinned by the
+    // c03/c04/c05 checksum oracles — this moves the pin under the driver's
+    // rows+schema+hash gate). Regenerate via GoldenGen after parameter
+    // changes and review the diff like any golden update. ----
+    "c01_cdc_classify" -> graft.goldens.Goldens.c01_cdc_classify,
+    "c02_cdc_enriched" -> graft.goldens.Goldens.c02_cdc_enriched,
+    "d06_simhash" -> graft.goldens.Goldens.d06_simhash,
+    "d08_simhash_dups" -> graft.goldens.Goldens.d08_simhash_dups,
+    "e02_ann_ivf" -> graft.goldens.Goldens.e02_ann_ivf,
+    "e04_ann_pq" -> graft.goldens.Goldens.e04_ann_pq,
     "m01_mm_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
