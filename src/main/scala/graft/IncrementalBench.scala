@@ -37,32 +37,50 @@ object IncrementalBench {
     def repoName(i: Long) = f"repo-$i%010d"
     val bulkLo = repoName(batches * batchSessions)
 
-    val results = Seq(true, false).map { mor =>
-      val wh = java.nio.file.Files.createTempDirectory(
-        s"inc-${if (mor) "mor" else "cow"}").toString
+    // modes: (label, merge-on-read?, compact inline?) — "async" runs the
+    // same MOR workload but defers compaction to maintain() between epochs,
+    // so ingest epochs never pay the rewrite (worst ≈ median); the rewrite
+    // cost moves to separately-timed maintenance commits.
+    val modes = Seq(("mor", true, true), ("cow", false, true), ("async", true, false))
+    val results = modes.map { case (mode, mor, inline) =>
+      val wh = java.nio.file.Files.createTempDirectory(s"inc-$mode").toString
       val eng = new CdcEngine(wh, numBuckets = 64, cutoffMicros = 14 * day,
-        morTransfers = mor)
+        morTransfers = mor, inlineCompaction = inline)
       val bulkSec = Bench.timed(
         eng.applyEpoch(spark, log.filter(_.repo >= bulkLo), 0L))
+      val maintSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val epochSecs = (0 until batches).map { j =>
         val lo = repoName(j * batchSessions)
         val hi = repoName((j + 1) * batchSessions)
         val batch = log.filter(e => e.repo >= lo && e.repo < hi)
-        Bench.timed(eng.applyEpoch(spark, batch, 1L + j))
+        val sec = Bench.timed(eng.applyEpoch(spark, batch, 1L + 2L * j))
+        if (!inline) // out-of-band maintenance as its own epoch number
+          maintSecs += Bench.timed(eng.maintain(spark, 2L + 2L * j))
+        sec
       }
-      // physical transfer rows added by the incremental epochs (manifest
-      // lineage — no extra job): write amplification vs sessions touched
+      // physical transfer rows added by the incremental INGEST epochs
+      // (manifest lineage — no extra job): write amplification vs sessions
+      // touched; maintenance rewrites are reported separately, not counted
+      // as ingest amplification
       val m = eng.transfers.latestManifest().get
-      val rowsAdded = m.files.filter(_.epochAdded >= 1L).map(_.rows).sum
+      val ingestEpochs = (0 until batches).map(j => 1L + 2L * j).toSet
+      val rowsAdded = m.files.filter(f => f.epochAdded >= 1L &&
+        (inline || ingestEpochs.contains(f.epochAdded))).map(_.rows).sum
       val amp = rowsAdded.toDouble / (batchSessions * batches)
-      (if (mor) "mor" else "cow", bulkSec, epochSecs, rowsAdded, amp)
+      (mode, bulkSec, epochSecs, rowsAdded, amp, maintSecs.toSeq)
     }
 
     log.unpersist()
-    val parts = results.map { case (mode, bulkSec, epochSecs, rowsAdded, amp) =>
+    val parts = results.map { case (mode, bulkSec, epochSecs, rowsAdded, amp, maintSecs) =>
       val avg = epochSecs.sum / epochSecs.size
+      val sortedSecs = epochSecs.sorted
+      val median = sortedSecs(sortedSecs.size / 2)
+      val maint = if (maintSecs.isEmpty) ""
+        else f""","${mode}_maint_secs":[${maintSecs.map(s => f"$s%.2f").mkString(",")}]"""
       f""""${mode}_bulk_sec":$bulkSec%.2f,"${mode}_epoch_secs":[${epochSecs.map(s => f"$s%.2f").mkString(",")}],""" +
-      f""""${mode}_avg_epoch_sec":$avg%.2f,"${mode}_rows_written":$rowsAdded,"${mode}_write_amplification":$amp%.2f"""
+      f""""${mode}_avg_epoch_sec":$avg%.2f,"${mode}_median_epoch_sec":$median%.2f,""" +
+      f""""${mode}_worst_epoch_sec":${epochSecs.max}%.2f,""" +
+      f""""${mode}_rows_written":$rowsAdded,"${mode}_write_amplification":$amp%.2f""" + maint
     }
     println(
       s"""{"metric":"incremental_apply","events":$n,"table_sessions":$conv,""" +
