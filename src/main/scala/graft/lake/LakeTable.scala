@@ -570,10 +570,12 @@ final class LakeTable(
     val spark = upserts.sparkSession
     val parent = latestManifest()
     require(parent.forall(_.epoch < epoch), s"epoch $epoch not after ${parent.map(_.epoch)}")
-    require(parent.forall(_.schemaJson == upserts.schema.json),
-      "appendNew does not evolve schema; use merge() for schema changes")
 
-    val withBucket = upserts.withColumn("__bucket", bucketCol)
+    // schema evolution on the append path too (new change-event fields land
+    // nullable; old files read through the merged schema with null fill) —
+    // same rules as merge()/mergeDelta()
+    val (mergedSchema, schemaId) = evolveSchema(parent, upserts.schema)
+    val withBucket = conformTo(mergedSchema)(upserts).withColumn("__bucket", bucketCol)
       // row-level commit stamp: survives compaction, so changesSince stays
       // exact for append-only tables too
       .withColumn("__epoch", lit(epoch))
@@ -616,16 +618,14 @@ final class LakeTable(
     // files. Compact over-threshold buckets by concatenation (rows are
     // unique by key already — no resolution needed), unless the caller
     // runs compact() out of band.
-    val baseSchema = DataType.fromJson(
-      parent.map(_.schemaJson).getOrElse(upserts.schema.json)).asInstanceOf[StructType]
     if (compactInline)
-      files = compactOverfull(spark, files, baseSchema, epoch, resolve = false)
+      files = compactOverfull(spark, files, mergedSchema, epoch, resolve = false)
 
     val manifest = Manifest(
       epoch = epoch,
       parentEpoch = parent.map(_.epoch).getOrElse(-1L),
-      schemaId = parent.map(_.schemaId).getOrElse(1),
-      schemaJson = upserts.schema.json,
+      schemaId = schemaId,
+      schemaJson = mergedSchema.json,
       keyColumns = keyColumns,
       numBuckets = parent.map(_.numBuckets).getOrElse(numBuckets),
       files = files,
@@ -709,6 +709,32 @@ final class LakeTable(
           .filter(col("__epoch") > sinceEpoch && col("__epoch") <= asOf)
           .withColumnRenamed("__epoch", "_commit_epoch")
     }
+  }
+
+  /** One `_lineage`-table row: a file set written by a commit, with the
+    * commit's metadata and metric counters attached (north_star: "per-
+    * partition lineage and offset/row-count metrics are emitted to a
+    * _lineage table").
+    */
+  private[lake] case class LineageRow(
+      epoch: Long, parentEpoch: Long, schemaId: Int, numBuckets: Int,
+      bucket: Int, path: String, rows: Long,
+      min0: Option[String], max0: Option[String],
+      metadata: Map[String, String], lineage: Map[String, Long])
+
+  /** The commit history as a queryable DataFrame — one row per file set
+    * WRITTEN by each commit (per-partition grain), carrying that commit's
+    * metadata map and lineage counters (offsets, row counts, observability
+    * counters). Built driver-side from the JSON manifests: no data files
+    * are opened.
+    */
+  def lineageTable(spark: SparkSession): DataFrame = {
+    val rows = committedEpochs().sorted.flatMap(manifestAt).flatMap { m =>
+      m.files.filter(_.epochAdded == m.epoch).map(f =>
+        LineageRow(m.epoch, m.parentEpoch, m.schemaId, m.numBuckets,
+          f.bucket, f.path, f.rows, f.min0, f.max0, m.metadata, m.lineage))
+    }
+    spark.createDataFrame(rows)
   }
 
   /** Bucket-count evolution — the maintenance operation for growing tables:

@@ -65,6 +65,11 @@ object CdcDemo {
     val last = eng.transfers.latestManifest().get
     println(s"manifest metadata: ${last.metadata}")
     println(s"manifest lineage:  ${last.lineage}")
+    println("\n_lineage table (per-partition write metrics, last 8):")
+    eng.transfers.lineageTable(spark)
+      .selectExpr("epoch", "bucket", "rows", "lineage['batchRows'] AS batch_rows",
+        "lineage['duplicatesDropped'] AS dupes")
+      .orderBy(desc("epoch"), col("bucket")).show(8, truncate = false)
     spark.stop()
     if (diff != 0) sys.exit(1)
   }

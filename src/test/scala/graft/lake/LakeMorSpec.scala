@@ -221,6 +221,36 @@ class LakeMorSpec extends SparkSpec {
     assert(t.compact(spark, epoch = 101L).epoch == 100L)
   }
 
+  test("lineage table exposes per-partition write metrics per commit") {
+    val t = new LakeTable(tmpDir("lineage-table") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    t.mergeDelta(Seq(("a", 1L), ("b", 1L)).toDF("k", "v"), epoch = 0L,
+      metadata = Map("build-tag" -> "x"), lineage = Map("batchRows" -> 2L))
+    t.mergeDelta(Seq(("a", 2L)).toDF("k", "v"), epoch = 1L,
+      lineage = Map("batchRows" -> 1L))
+    val lt = t.lineageTable(spark)
+    val byEpoch = lt.groupBy("epoch").sum("rows").as[(Long, Long)].collect().toMap
+    assert(byEpoch == Map(0L -> 2L, 1L -> 1L), s"got $byEpoch")
+    assert(lt.filter($"epoch" === 0L).select("metadata")
+      .as[Map[String, String]].head() == Map("build-tag" -> "x"))
+    assert(lt.filter($"epoch" === 1L).select("lineage")
+      .as[Map[String, Long]].head().get("batchRows").contains(1L))
+  }
+
+  test("appendNew evolves schema: new columns land nullable, insert-ignore holds") {
+    val t = new LakeTable(tmpDir("append-evo") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"))
+    t.appendNew(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), epoch = 0L)
+    // epoch 1 adds a column AND redelivers key "a" (must be ignored)
+    t.appendNew(Seq(("a", 9L, "dup"), ("c", 3L, "x")).toDF("k", "v", "extra"), epoch = 1L)
+    val m = t.latestManifest().get
+    assert(m.schemaId == 2, s"schemaId must bump: ${m.schemaId}")
+    val rows = LakeTable.readSnapshot(t, spark).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(("a", 1L, None), ("b", 2L, None), ("c", 3L, Some("x"))),
+      s"got ${rows.toSeq}")
+  }
+
   test("schema evolution through delta commits: old rows null-fill, resolution holds") {
     val t = new LakeTable(tmpDir("mor-evo") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), mergeOnRead = true)
