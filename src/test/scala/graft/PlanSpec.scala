@@ -125,4 +125,18 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("codegen id"), s"no codegen span in:\n$plan")
   }
+
+  test("d02: the fused quality-stats struct is computed ONCE for all 8 fields") {
+    // CollapseProject inlines the struct expression into every extracted
+    // field at the logical level; whole-stage codegen's common-subexpression
+    // elimination must collapse them back to a single compute() call per
+    // row — otherwise the one-pass expression silently runs 8 passes
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.TextOps.qualityFeatures(docs, "text")
+      .select(graft.functions.QualityStatsExpr.fieldNames.map(col): _*)
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    val calls = "QualityStatsExpr\\.compute".r.findAllIn(code).length
+    assert(calls == 1, s"expected exactly one compute() call site, got $calls")
+  }
 }
