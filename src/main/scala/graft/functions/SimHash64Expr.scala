@@ -100,6 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimExpr.registration)
     ext.injectFunction(WinnowExpr.registration)
     ext.injectFunction(QualityStatsExpr.registration)
+    ext.injectFunction(MinHashSigExpr.registration)
   }
 }
 
@@ -108,7 +109,8 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(SimHash64Expr.registration, CosineSketchExpr.registration,
       LangIdExpr.registration, CosineSimExpr.registration,
-      WinnowExpr.registration, QualityStatsExpr.registration).foreach {
+      WinnowExpr.registration, QualityStatsExpr.registration,
+      MinHashSigExpr.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -156,6 +156,18 @@ object TextOps {
           transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))),
         ).as("bhash")))
 
+  /** Relational reference of the native MinHash signature (explode the
+    * distinct shingles, then one min-aggregate per permutation of
+    * `xxhash64(shingle, permutation)`) — the semantics donor for
+    * [[graft.functions.MinHashSigExpr]]; bit-parity asserted in OpsSpec.
+    */
+  def minhashSigsRef(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .groupBy("doc_id")
+      .agg(array((0 until numHashes).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
+
   /** Near-duplicate candidate pairs via MinHash + LSH, verified with exact
     * shingle Jaccard. One shuffle on (band, bandHash); self-join within
     * buckets; `idCol` ordering dedups the pair space.
@@ -165,15 +177,18 @@ object TextOps {
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Signature via explode + numHashes min-aggregates: fully codegen'd hash
-    // aggregation, no nested higher-order functions (those run interpreted
-    // and CollapseProject re-inlines any aliased shingle column back into
-    // the per-seed loop — 32× the shingling work; measured 510s → ~5s on
-    // 5k docs). Docs with no shingles can't be near-dups and drop out.
-    val exploded = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("s"))
-    val sigs = exploded.groupBy("doc_id")
-      .agg(array((0 until numHashes).map(i => min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
+    // Signatures via the native one-pass expression (MinHashSigExpr):
+    // bit-identical to the explode + numHashes-min-aggregates formulation
+    // `sigsRef` (parity-asserted in OpsSpec) with no explode to
+    // docs×shingles rows, no hash-agg shuffle, one byte-hash per shingle
+    // instead of numHashes. Docs with <k tokens have no shingles, can't be
+    // near-dups, and drop out (null signature) — same as explode dropping
+    // them. Optimization history: the ORIGINAL nested-HOF formulation was
+    // 510 s on 5k docs (interpreted lambdas re-shingling per seed), the
+    // explode+agg rewrite ~5 s, this one ~2× again on the full query.
+    val sigs = df.select(col(idCol).as("doc_id"),
+      graft.functions.MinHashSigExpr.minhashSig(col(textCol), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     // candidate generation carries only (doc_id, band, bhash) — the shingle
     // sets are attached AFTER the pair space is deduped, so the band join
     // and distinct shuffle ids, not documents
@@ -186,8 +201,15 @@ object TextOps {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    val sets = df.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+    // exact-verification shingle sets are computed ONLY for docs that
+    // appear in a candidate pair (left-semi on the pair ids BEFORE the
+    // shingle projection): at corpus scale candidates are a sliver of the
+    // table, and shingling is the expensive interpreted step
+    val pairIds = candidates.select(col("a").as("doc_id"))
+      .unionByName(candidates.select(col("b").as("doc_id"))).distinct()
+    val sets = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(pairIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(shingles(col("__t"), k)).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))

@@ -306,6 +306,28 @@ class OpsSpec extends SparkSpec {
     assert(one == "de")
   }
 
+  test("native minhash signature is bit-identical to the explode+agg formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9001L, "one two three four five"),
+        (9002L, "a b"),                     // < k tokens → no signature
+        (9003L, "x  y z"),                  // empty token from double space
+        (9004L, "solo tok tok tok"),        // duplicate shingles
+        (9005L, "的 是 了 在 我"),
+      ).toDF("doc_id", "text"))
+    val nat = docs.select($"doc_id",
+      graft.functions.MinHashSigExpr.minhashSig($"text", 3, 32).as("sig"))
+      .filter($"sig".isNotNull)
+    val ref = TextOps.minhashSigsRef(docs, "doc_id", "text", k = 3, numHashes = 32)
+    val joined = nat.alias("n").join(ref.alias("r"), Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"n.sig".as("ns"), $"r.sig".as("rs"))
+    val diff = joined.filter($"ns".isNull || $"rs".isNull || $"ns" =!= $"rs")
+    assert(diff.isEmpty, s"divergent: ${diff.take(3).mkString(", ")}")
+    // the <k-token doc must be absent from BOTH
+    assert(joined.filter($"doc_id" === 9002L).isEmpty)
+  }
+
   test("fused quality stats equal the relational formulation on fixture + edge cases") {
     val fields = graft.functions.QualityStatsExpr.fieldNames
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
