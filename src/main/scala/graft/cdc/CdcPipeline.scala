@@ -397,13 +397,6 @@ final class CdcEngine(
       )).getOrElse(Map.empty) ++ odsMetadataMonth.map(ym =>
         "ods-metadata-month" -> s"${ym / 100}-${ym % 100}")
 
-      // state first, then transfers: a crash in between re-runs the epoch —
-      // state commit is already present ⇒ skipped; transfers recomputed
-      // identically from identical state (determinism = exactly-once).
-      // assumeNew: the fold already guarantees first-seen-only events.
-      state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
-        touchedBuckets = Some(touched), assumeNew = true,
-        precomputedStats = Some(eventStats), compactInline = inlineCompaction)
       // observability parity with the reference's log probes: dangling-ack /
       // unknown-purpose / negative-SLA counts land in manifest lineage
       val tLineage = lineage ++ Map(
@@ -415,14 +408,35 @@ final class CdcEngine(
       // unless someone rebuckets one table out-of-band) — fall back to the
       // in-commit count if not
       val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
-      if (morTransfers)
-        transfers.mergeDelta(upserts, epoch,
-          metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
-          precomputedStats = if (sameBucketing) Some(transferStats) else None,
-          compactInline = inlineCompaction)
-      else
-        transfers.merge(upserts, epoch,
-          metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
+
+      // the two commits are independent (separate manifest chains, both
+      // consuming the CACHED fold output), so they run CONCURRENTLY —
+      // per-epoch latency is max(commit) instead of sum(commit), which at
+      // small batches is dominated by write fixed costs. Crash/failure of
+      // either side leaves at most one table committed; re-running the
+      // epoch heals it in either order: each commit is skip-if-present and
+      // the fold is deterministic, so the lagging side recomputes
+      // identically (asserted both ways in CdcEngineSpec).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val stateF = Future {
+        // assumeNew: the fold already guarantees first-seen-only events
+        state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
+          touchedBuckets = Some(touched), assumeNew = true,
+          precomputedStats = Some(eventStats), compactInline = inlineCompaction)
+      }
+      val transfersF = Future {
+        if (morTransfers)
+          transfers.mergeDelta(upserts, epoch,
+            metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
+            precomputedStats = if (sameBucketing) Some(transferStats) else None,
+            compactInline = inlineCompaction)
+        else
+          transfers.merge(upserts, epoch,
+            metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
+      }
+      Await.result(stateF, scala.concurrent.duration.Duration.Inf)
+      Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
     } finally out.unpersist()
   }
 

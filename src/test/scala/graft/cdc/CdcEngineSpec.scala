@@ -224,6 +224,46 @@ class CdcEngineSpec extends SparkSpec {
     assert(got == want, "recovered state must equal the clean two-epoch run")
   }
 
+  test("reverse crash (transfers committed, state lagging) also recovers exactly-once") {
+    // the two commits run concurrently, so the crash can land either way
+    // around — here transfers commits epoch 1 and state doesn't
+    val dir = tmpDir("two-phase-crash-rev")
+    val eng = new CdcEngine(dir, numBuckets = 8, cutoffMicros = 14 * day)
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val stamped = log.filter(_.epoch == 1L).withColumn("epoch", l(1L)).as[ChangeEvent]
+    val touched = stamped.toDF().agg(
+      org.apache.spark.sql.functions.collect_set(eng.state.bucketCol))
+      .collect()(0).getSeq[Int](0).toSet
+    val prior = eng.state.snapshot(spark, buckets = Some(touched))
+    val eventCols = spark.emptyDataset[ChangeEvent].columns
+    val priorEv = prior.select(eventCols.map(c): _*).as[ChangeEvent]
+    val cutoffLocal = 14 * day
+    val upserts = CdcPipeline.withRowSha(priorEv.union(stamped)
+      .groupByKey(_.repo)
+      .flatMapGroups((r, it) => CdcPipeline.applyGroup(r, it, cutoffLocal, 1L))
+      .filter(_.transfer.isDefined).map(_.transfer.get).toDF())
+    eng.transfers.mergeDelta(upserts, 1L, touchedBuckets = Some(touched))
+    assert(eng.transfers.latestManifest().get.epoch == 1L)
+    assert(eng.state.latestManifest().get.epoch == 0L, "state must lag (crashed)")
+
+    // recovery: the normal apply path finishes the epoch (transfers commit
+    // is skipped as already-present; state recomputes identically)
+    eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L)
+    assert(eng.state.latestManifest().get.epoch == 1L)
+    val got = shaMap(eng.currentTransfers(spark))
+    val want = shaMap(CdcPipeline.withRowSha(CdcPipeline.classify(
+      log.filter(_.epoch <= 1L), 14 * day).toDF()))
+    assert(got == want, "recovered state must equal the clean two-epoch run")
+    // and the NEXT epoch applies cleanly on the healed state
+    eng.applyEpoch(spark, log.filter(_.epoch == 2L), 2L)
+    val got2 = shaMap(eng.currentTransfers(spark))
+    val want2 = shaMap(CdcPipeline.withRowSha(CdcPipeline.classify(
+      log.filter(_.epoch <= 2L), 14 * day).toDF()))
+    assert(got2 == want2)
+  }
+
   test("rebucket mid-chain: applies continue correctly on the grown layout") {
     val eng = new CdcEngine(tmpDir("rebucket"), numBuckets = 4, cutoffMicros = 14 * day)
     eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
