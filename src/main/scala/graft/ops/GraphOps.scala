@@ -50,9 +50,12 @@ object GraphOps {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
+      // lazy cache (not an eager checkpoint): propagated is consumed twice
+      // by the jump join below, and its lineage is already shallow because
+      // `labels` is truncated — one materialization job per round, not two
       val propagated = labels.select("id", "component").unionByName(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+        .cache()
       // pointer jump: component ids are node ids, so resolve one more hop
       // (comp(comp(u))) — this is what makes long chains converge in
       // logarithmic rounds instead of linear
@@ -65,6 +68,7 @@ object GraphOps {
         .join(labels.alias("l"), col("n.id") === col("l.id"))
         .filter(col("n.component") =!= col("l.component"))
         .limit(1).count() // any-change probe, stops at the first hit
+      propagated.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
