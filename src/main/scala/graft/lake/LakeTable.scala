@@ -199,6 +199,12 @@ final class LakeTable(
     * buckets read straight through with no window shuffle. `key0` prunes by
     * the per-file first-key-column bounds on top of bucket pruning (point
     * reads open only the files whose range can hold the key).
+    *
+    * key0 CONTRACT: the result is only correct for rows whose first key
+    * column EQUALS key0 — every file that can hold a version of key0
+    * survives pruning, but OTHER keys may resolve stale (their winning
+    * version can live in a pruned file). Callers must filter to key0
+    * downstream, as `lookup` does.
     */
   def snapshot(spark: SparkSession, asOf: Long = Long.MaxValue,
                buckets: Option[Set[Int]] = None,

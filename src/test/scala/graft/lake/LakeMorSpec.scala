@@ -150,6 +150,14 @@ class LakeMorSpec extends SparkSpec {
     val hitFiles = hit.inputFiles
     assert(hitFiles.length < allFiles && hitFiles.forall(_.contains("e000000000001")),
       s"bounds pruning must isolate epoch 1's file: ${hitFiles.mkString(", ")}")
+
+    // a superseding version in a NARROW-bounds file must still win: every
+    // file that can hold the probed key survives pruning, so resolution
+    // sees both versions (the key0 contract's safe direction)
+    t.mergeDelta(Seq(("b05", 9L)).toDF("k", "v"), epoch = 3L)
+    val updated = t.lookup(spark, Map("k" -> "b05"))
+    assert(updated.select("v").as[Long].collect().toSeq == Seq(9L),
+      "lookup must resolve to the superseding version across pruned reads")
   }
 
   test("lookup time travel across a rebucket resolves against the as-of layout") {
