@@ -201,6 +201,12 @@ object TextOps {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
+      // the candidate id-pair table feeds THREE consumers (both sides of
+      // the verify join and the pair-id semi-join) — cached so the corpus
+      // scan + signature + band join run once, not once per consumer
+      // (exchange reuse alone only dedups the banded side). Tiny payload:
+      // two id columns.
+      .cache()
     // exact-verification shingle sets are computed ONLY for docs that
     // appear in a candidate pair (left-semi on the pair ids BEFORE the
     // shingle projection): at corpus scale candidates are a sliver of the
