@@ -449,10 +449,12 @@ final class CdcEngine(
     transfers.rebucket(spark, newNumBuckets, epoch)
   }
 
-  /** Out-of-band maintenance: compact both tables' over-threshold buckets as
-    * their own commit epoch (same number on both chains, like applyEpoch).
-    * Pair with `inlineCompaction = false` so ingest epochs never pay the
-    * rewrite; a no-op (no commit) on a table with nothing over threshold.
+  /** Maintenance between ingest epochs: compact both tables' over-threshold
+    * buckets as their own commit epoch (same number on both chains, like
+    * applyEpoch). Pair with `inlineCompaction = false` so ingest epochs
+    * never pay the rewrite; a no-op (no commit) on a table with nothing
+    * over threshold. MUST be interleaved with applies, never run in
+    * parallel with one — each table is single-writer (see LakeTable.compact).
     */
   def maintain(spark: SparkSession, epoch: Long): Unit = {
     state.compact(spark, epoch)

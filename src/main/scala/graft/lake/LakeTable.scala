@@ -311,10 +311,17 @@ final class LakeTable(
   }
 
   /** Standalone maintenance compaction, committed as its OWN epoch — run it
-    * out of band (a maintenance thread / scheduled job) so ingest commits
-    * never pay the compaction rewrite inline and epoch latency stays flat.
-    * No-op (returns the parent manifest WITHOUT committing) when no bucket
-    * is over threshold. Exactly-once like every commit.
+    * BETWEEN ingest commits so those never pay the compaction rewrite
+    * inline and epoch latency stays flat. No-op (returns the parent
+    * manifest WITHOUT committing) when no bucket is over threshold.
+    * Exactly-once like every commit.
+    *
+    * SINGLE-WRITER contract (same as every commit on this table): do not
+    * run compact() truly concurrently with another commit — two committers
+    * of DIFFERENT epochs would both extend the chain from the same parent,
+    * and whichever lands second re-lists the first's superseded files.
+    * "Off the ingest path" means interleaved between applies (or in the
+    * scheduler slot applies otherwise idle in), not parallel with one.
     */
   def compact(spark: SparkSession, epoch: Long): Manifest = {
     if (Files.exists(manifestPath(epoch)))
