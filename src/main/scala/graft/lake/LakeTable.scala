@@ -812,7 +812,7 @@ final class LakeTable(
     * SaveMode.Overwrite — the hard-link guard protects the manifest, not
     * the files it points to).
     */
-  private def writeManifestAtomically(m: Manifest): Unit = {
+  private[lake] def writeManifestAtomically(m: Manifest): Unit = {
     Files.createDirectories(manifestDir)
     val sweepBefore = System.currentTimeMillis() - LakeTable.tmpSweepAgeMs
     listNames(manifestDir).filter(_.endsWith(".tmp")).foreach { stale =>
@@ -823,6 +823,22 @@ final class LakeTable(
       if (stale != s".m${m.epoch}.json.tmp" && oldEnough)
         Files.deleteIfExists(p)
     }
+    // optimistic-concurrency guard (the Iceberg commit-CAS analogue): this
+    // commit's file list was built against `parentEpoch`; if ANOTHER epoch
+    // landed in (parentEpoch, epoch) meanwhile, publishing ours would
+    // silently resurrect files that commit compacted/rewrote away. Detect
+    // and THROW instead — the caller re-reads the new head and retries.
+    // Checked before AND after the link: the pre-check catches the
+    // practical interleave, the post-check (with rollback of our own just-
+    // published manifest) closes the list→link window.
+    def conflicts(): Seq[Long] =
+      committedEpochs().filter(e => e > m.parentEpoch && e < m.epoch).sorted
+    val pre = conflicts()
+    if (pre.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"commit of epoch ${m.epoch} was built against parent ${m.parentEpoch} " +
+          s"but epochs ${pre.mkString(",")} have since committed — single " +
+          "writer per table; rebuild the commit against the new head")
     val tmp = manifestDir.resolve(s".m${m.epoch}.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     try Files.createLink(manifestPath(m.epoch), tmp)
@@ -831,6 +847,13 @@ final class LakeTable(
       // keeps the first commit (ours is identical by determinism)
       case _: java.nio.file.FileAlreadyExistsException => ()
     } finally Files.deleteIfExists(tmp)
+    val post = conflicts()
+    if (post.nonEmpty) {
+      Files.deleteIfExists(manifestPath(m.epoch))
+      throw new java.util.ConcurrentModificationException(
+        s"commit of epoch ${m.epoch} raced epochs ${post.mkString(",")} " +
+          "past its parent — rolled back; rebuild against the new head")
+    }
   }
 }
 

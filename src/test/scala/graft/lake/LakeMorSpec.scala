@@ -229,6 +229,23 @@ class LakeMorSpec extends SparkSpec {
     assert(t.compact(spark, epoch = 101L).epoch == 100L)
   }
 
+  test("publishing a commit built against a stale parent throws, never resurrects files") {
+    val t = new LakeTable(tmpDir("occ") + "/t", numBuckets = 2, keyColumns = Seq("k"))
+    t.appendNew(Seq(("a", 1L)).toDF("k", "v"), epoch = 0L)
+    t.appendNew(Seq(("b", 2L)).toDF("k", "v"), epoch = 1L)
+    // a racing writer's commit built BEFORE epoch 1 landed: its file list
+    // misses epoch 1's files — publishing it would silently drop them
+    val stale = t.latestManifest().get.copy(epoch = 5L, parentEpoch = 0L)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.writeManifestAtomically(stale)
+    }
+    assert(ex.getMessage.contains("single writer"))
+    assert(t.latestManifest().get.epoch == 1L, "stale commit must not publish")
+    // the chain keeps working afterwards
+    t.appendNew(Seq(("c", 3L)).toDF("k", "v"), epoch = 2L)
+    assert(LakeTable.readSnapshot(t, spark).count() == 3L)
+  }
+
   test("lineage table exposes per-partition write metrics per commit") {
     val t = new LakeTable(tmpDir("lineage-table") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), mergeOnRead = true)
