@@ -36,6 +36,16 @@ class LakeMorSpec extends SparkSpec {
           .select("k", "v").as[(String, Long)].collect().toMap
         assert(got == want, s"seed=$seed asOf=$epoch: $got != $want")
       }
+      // bounds-pruned point lookups agree with the resolved map at the head
+      // (and at one historical epoch) for every key, present or not
+      val headWant = expectedAt(5L)
+      (keys :+ "zz-missing").foreach { k =>
+        val hit = t.lookup(spark, Map("k" -> k)).select("v").as[Long].collect().toSeq
+        assert(hit == headWant.get(k).toSeq, s"seed=$seed lookup($k): $hit")
+        val hist = t.lookup(spark, Map("k" -> k), asOf = 2L)
+          .select("v").as[Long].collect().toSeq
+        assert(hist == expectedAt(2L).get(k).toSeq, s"seed=$seed lookup($k,asOf=2): $hist")
+      }
       // compaction actually bounded the per-bucket file count
       val perBucket = t.latestManifest().get.files.groupBy(_.bucket).map(_._2.size)
       assert(perBucket.forall(_ <= 2 * 2), s"seed=$seed files per bucket: $perBucket")

@@ -54,3 +54,48 @@ object TextProps extends Properties("Winnow") {
       (fps(doc) intersect fps(shifted)).nonEmpty
     }
 }
+
+/** Pure properties of the native MinHash signature vs a naive reference
+  * (explicit shingle strings + the same xxhash64(shingle, perm) chain).
+  */
+object MinHashProps extends Properties("MinHashSig") {
+  import graft.functions.MinHashSigExpr
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val K = 3
+  private val H = 16
+
+  private def refSig(text: String): Option[Seq[Long]] = {
+    val tokens = text.split(" ", -1)
+    if (tokens.length < K) return None
+    val shingles = (0 to tokens.length - K).map(i => tokens.slice(i, i + K).mkString(" "))
+    Some((0 until H).map { p =>
+      shingles.map { sh =>
+        val u = UTF8String.fromString(sh)
+        XXH64.hashInt(p, XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      }.min
+    })
+  }
+
+  private def natSig(text: String): Option[Seq[Long]] = {
+    val arr = MinHashSigExpr.compute(UTF8String.fromString(text), K, H)
+    if (arr == null) None else Some((0 until arr.numElements()).map(arr.getLong))
+  }
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(5)),
+    Gen.const(""),             // empty tokens from consecutive spaces
+    Gen.oneOf("的", "é", "😀", "x", "1"),
+  )
+
+  property("native signature equals the naive shingle-string reference") =
+    forAll(Gen.listOf(tokenGen)) { tokens =>
+      val text = tokens.mkString(" ")
+      natSig(text) == refSig(text)
+    }
+
+  property("texts with fewer than k tokens have no signature") =
+    forAll(Gen.listOfN(K - 1, tokenGen)) { tokens =>
+      natSig(tokens.mkString(" ")).isEmpty
+    }
+}
