@@ -757,9 +757,12 @@ final class LakeTable(
     * normal epoch (exactly-once semantics apply); merge-on-read tables are
     * resolved during the rewrite, so the new layout starts compact. Later
     * commits and reads pick up the new count from the manifest
-    * (`currentNumBuckets`). Bucket-pruned reads always target the HEAD
-    * manifest; time travel across a rebucket returns complete (unpruned)
-    * snapshots of the old layout.
+    * (`currentNumBuckets`). Point lookups hash with the AS-OF manifest's
+    * bucket count, so time travel across a rebucket stays correct. NOTE:
+    * the rewrite resolves merge-on-read tables regardless of
+    * `changeRetention` — a `changesSince` consumer lagging past a rebucket
+    * sees only surviving versions (schedule rebuckets behind the slowest
+    * consumer, like any compaction).
     */
   def rebucket(spark: SparkSession, newNumBuckets: Int, epoch: Long): Manifest = {
     if (Files.exists(manifestPath(epoch)))
