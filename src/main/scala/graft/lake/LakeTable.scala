@@ -292,7 +292,7 @@ final class LakeTable(
       .repartition(math.max(1, math.min(currentNumBuckets, overfull.size)) * saltFactor,
         col("__bucket"), saltCol)
       .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
       .parquet(s"$root/$cDirRel")
     val inByBucket = cInput.groupBy(_.bucket)
     val rowsByBucket: Map[Int, Long] =
@@ -426,6 +426,7 @@ final class LakeTable(
           col("__bucket"), saltCol)
         .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
       mergedRows.write.mode(SaveMode.Overwrite)
+        .option("compression", LakeTable.compression)
         .partitionBy("__bucket")
         .parquet(s"$root/$epochDirRel")
       // per-bucket stats for the manifest: recomputed from the SAME
@@ -522,7 +523,7 @@ final class LakeTable(
           .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * saltFactor,
             col("__bucket"), saltCol)
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
-          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
         // stats recomputed from the same deterministic plan (no read-back);
         // a bucket with zero rows leaves no dir and gets no entry
@@ -617,7 +618,7 @@ final class LakeTable(
           .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * saltFactor,
             col("__bucket"), saltCol)
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
-          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
         // stats recomputed from the same deterministic plan (no read-back);
         // pure-redelivery batches count to nothing and add no entries
@@ -785,7 +786,7 @@ final class LakeTable(
     rewritten
       .repartition(newNumBuckets, col("__bucket"), saltCol)
       .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
       .parquet(s"$root/$dirRel")
     val files = entriesFor(dirRel, epoch, bucketStatsOf(rewritten))
     val manifest = Manifest(
@@ -865,6 +866,14 @@ object LakeTable {
     * age; any live commit finishes far sooner.
     */
   val tmpSweepAgeMs: Long = 15L * 60 * 1000
+
+  /** Parquet codec for every lake write: zstd trades CPU (which scales with
+    * cores/executors) for bytes on the shared write path (disk here, object
+    * store on a cluster) — the right side of the trade for an ingest-bound
+    * table format, and it measurably improves thread-scaling on a
+    * single-disk box (BENCH/BASELINE.md §2).
+    */
+  val compression: String = "zstd"
 
   /** A snapshot read that hides the internal bucket column. */
   def readSnapshot(t: LakeTable, spark: SparkSession, asOf: Long = Long.MaxValue): DataFrame = {
