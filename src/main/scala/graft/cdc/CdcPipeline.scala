@@ -271,6 +271,22 @@ final class CdcEngine(
   def applyEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
     import spark.implicits._
 
+    // Exactly-once fast path: an epoch BOTH tables already committed is
+    // skipped without paying the fold — a checkpoint restart (foreachBatch
+    // redelivers the batch in flight at the crash; batch drivers re-run
+    // whole epoch ranges, see `committedThrough`) costs one manifest stat
+    // per replayed epoch, not a Spark job. A half-committed epoch (crash
+    // between the two concurrent commits) falls through: the deterministic
+    // fold re-runs and the skip-if-present commits heal the lagging side.
+    // CONTRACT: the epoch id must determine the batch content (streaming
+    // checkpoints own their batchId numbering — see StreamingIngest), and
+    // maintenance/rebucket epochs share this number space, so ingest and
+    // maintenance ids must be disjoint.
+    (transfers.manifestAt(epoch), state.manifestAt(epoch)) match {
+      case (Some(t), Some(_)) => return t
+      case _ => ()
+    }
+
     // Re-stamp the batch with THIS epoch. Freshness (which events the fold
     // persists to the durable state table) must mean "first applied in this
     // epoch", not "stamped with this epoch by the source": a streaming
@@ -438,6 +454,21 @@ final class CdcEngine(
       Await.result(stateF, scala.concurrent.duration.Duration.Inf)
       Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
     } finally out.unpersist()
+  }
+
+  /** Resume point for a batch driver: the highest epoch BOTH tables have
+    * committed, or None on a fresh warehouse. A restarted job replays
+    * `(committedThrough.getOrElse(-1L) + 1) to lastEpoch` — and because
+    * `applyEpoch` is a fast no-op on fully-committed epochs and heals
+    * half-committed ones, replaying from 0 is also always safe, just
+    * slower. (Streaming restarts don't need this: the query checkpoint
+    * replays the exact in-flight batchId.)
+    */
+  def committedThrough(): Option[Long] = {
+    for {
+      t <- transfers.latestManifest()
+      s <- state.latestManifest()
+    } yield math.min(t.epoch, s.epoch)
   }
 
   /** Grow both tables' bucket counts (one epoch number each, state first) —

@@ -71,4 +71,79 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch,
       "split-session transfer must match the one-shot batch oracle")
   }
+
+  test("kill-and-restart from the query checkpoint resumes, not redoes") {
+    val cfg = GenConfig(numConversations = 80, hotConversations = 1,
+      hotFragments = 16, redeliveryPermille = 50, epochs = 4)
+    val log = ChangeLogGen.generate(spark, cfg).cache()
+    val srcDir = tmpDir("restart-src")
+    val cp = tmpDir("restart-cp")
+    val engine = new CdcEngine(tmpDir("restart-wh"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    def arrive(e: Long): Unit =
+      log.filter(_.epoch == e).toDF().write.mode("append").parquet(srcDir)
+    def tail() = spark.readStream
+      .schema(spark.emptyDataset[ChangeEvent].schema)
+      .option("maxFilesPerTrigger", 2) // several micro-batches per run
+      .parquet(srcDir)
+      .as[ChangeEvent]
+
+    arrive(0L); arrive(1L)
+    val q1 = StreamingIngest.start(engine, tail(), cp)
+    q1.processAllAvailable(); q1.stop() // the kill
+    val atKill = engine.committedThrough()
+    assert(atKill.nonEmpty)
+
+    // more of the log lands while the query is down; the restart (same
+    // checkpoint, same warehouse) picks up ONLY the new files and batchIds
+    // continue past the committed horizon
+    arrive(2L); arrive(3L)
+    val q2 = StreamingIngest.start(engine, tail(), cp)
+    q2.processAllAvailable(); q2.stop()
+    assert(engine.committedThrough().get > atKill.get)
+
+    // file-sized micro-batches ≠ the source's epoch stamps, across a
+    // restart — the final table must still equal one-shot classification
+    val streamed = engine.currentTransfers(spark)
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    val batch = CdcPipeline.withRowSha(
+        CdcPipeline.classify(log, 14 * day).toDF())
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    assert(streamed == batch)
+    log.unpersist()
+  }
+
+  test("a fully-committed epoch replays as a manifest-stat no-op") {
+    val cfg = GenConfig(numConversations = 20, hotConversations = 0,
+      hotFragments = 0, epochs = 2)
+    val all = (0L until 20L).flatMap(ChangeLogGen.eventsOf(cfg, _))
+    val engine = new CdcEngine(tmpDir("fastpath"), numBuckets = 4,
+      cutoffMicros = 14 * day)
+    engine.applyEpoch(spark, all.filter(_.epoch == 0L).toDS(), 0L)
+    val before = engine.transfers.latestManifest().get
+    // a checkpoint replay redelivers batchId 0 — the fast path returns the
+    // committed manifest without running the fold (the epoch id determines
+    // batch content per the StreamingIngest contract, so even a DIFFERENT
+    // payload must not re-apply)
+    val replayed = engine.applyEpoch(spark, all.filter(_.epoch == 1L).toDS(), 0L)
+    assert(replayed == before)
+    assert(engine.transfers.latestManifest().get == before)
+    assert(engine.committedThrough().contains(0L))
+  }
+
+  test("an idle trigger's empty batch commits an empty epoch harmlessly") {
+    val cfg = GenConfig(numConversations = 20, hotConversations = 0,
+      hotFragments = 0, epochs = 1)
+    val all = (0L until 20L).flatMap(ChangeLogGen.eventsOf(cfg, _))
+    val engine = new CdcEngine(tmpDir("emptybatch"), numBuckets = 4,
+      cutoffMicros = 14 * day)
+    engine.applyEpoch(spark, all.toDS(), 0L)
+    val before = engine.currentTransfers(spark)
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    engine.applyEpoch(spark, spark.emptyDataset[ChangeEvent], 1L)
+    assert(engine.committedThrough().contains(1L))
+    val after = engine.currentTransfers(spark)
+      .select("repo", "row_sha256").as[(String, String)].collect().toMap
+    assert(after == before)
+  }
 }
