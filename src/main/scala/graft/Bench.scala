@@ -64,6 +64,15 @@ object Bench {
         SparkEntry.queries("q01_scan_project")(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
         SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+        // warm the lake WRITE path too (parquet/zstd writers, commit
+        // protocol, merge shuffle codegen): a tiny throwaway apply, so the
+        // timed cdc_apply's first epoch doesn't absorb ~5s of one-off JIT
+        // that belongs to no epoch (same policy as the query warm-up above)
+        val warmLog = ChangeLogGen.generate(spark, GenConfig(
+          numConversations = 64, hotConversations = 0, hotFragments = 0, epochs = 1))
+        val warmWh = java.nio.file.Files.createTempDirectory("bench-warm").toString
+        new CdcEngine(warmWh, numBuckets = 4, cutoffMicros = 14L * 24 * 3600 * 1000000L)
+          .applyEpoch(spark, warmLog, 0L)
       } catch { case _: Throwable => }
     }
 

@@ -299,8 +299,16 @@ final class CdcEngine(
     // Tungsten; the typed map would deserialize the whole batch per action.)
     val newEvents = rawEvents.withColumn("epoch", lit(epoch)).as[ChangeEvent]
 
+    // job descriptions are thread-local — tag each of the epoch's jobs so
+    // the Spark UI / ApplyProfile attribute wall-clock to a pipeline stage
+    // instead of an anonymous closure (the commit futures tag their own
+    // threads below)
+    def desc(d: String): Unit =
+      spark.sparkContext.setJobDescription(s"cdc epoch $epoch: $d")
+
     // narrow pre-pass: batch stats + touched buckets (partial-agg only;
     // state and transfers hash the same repo column → shared touched set)
+    desc("batch stats + touched buckets")
     val stats = newEvents.toDF()
       .agg(
         count(lit(1)), coalesce(min("offset"), lit(0L)), coalesce(max("offset"), lit(0L)),
@@ -366,6 +374,7 @@ final class CdcEngine(
           missing.cast("long")
         case None => lit(0L)
       }
+      desc("fold + epoch summary")
       val summary = out.toDF().select(
           coalesce(col("transfer.repo"), col("event.repo")).as("repo"),
           col("event").isNotNull.cast("long").as("isE"),
@@ -436,12 +445,14 @@ final class CdcEngine(
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val stateF = Future {
+        desc("state commit (appendNew)")
         // assumeNew: the fold already guarantees first-seen-only events
         state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
           touchedBuckets = Some(touched), assumeNew = true,
           precomputedStats = Some(eventStats), compactInline = inlineCompaction)
       }
       val transfersF = Future {
+        desc("transfers commit (mergeDelta)")
         if (morTransfers)
           transfers.mergeDelta(upserts, epoch,
             metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
@@ -453,7 +464,10 @@ final class CdcEngine(
       }
       Await.result(stateF, scala.concurrent.duration.Duration.Inf)
       Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
-    } finally out.unpersist()
+    } finally {
+      out.unpersist()
+      spark.sparkContext.setJobDescription(null) // don't leak the tag to caller jobs
+    }
   }
 
   /** Resume point for a batch driver: the highest epoch BOTH tables have

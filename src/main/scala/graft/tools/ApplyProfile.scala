@@ -1,83 +1,73 @@
 package graft.tools
 
-import graft.cdc._
-import org.apache.spark.sql.functions._
+import graft.cdc.{CdcEngine, ChangeLogGen, GenConfig}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
 
-/** Phase-level profile of the REAL engine apply path — where does an epoch
-  * go. Mirrors CdcEngine.applyEpoch phase by phase (stats agg, prior-state
-  * read+semi-join, fused fold+cache, state appendNew, transfers mergeDelta)
-  * so regressions can be localized. Epoch 0 is the bulk load; later epochs
-  * show the incremental steady state.
+/** Where does an incremental epoch's wall-clock go? Applies the benchmark's
+  * change log epoch by epoch with a job listener attached and prints every
+  * Spark job's duration and first stage name — the evidence base for
+  * attacking per-epoch fixed costs (the term that dominates small batches).
+  *
+  * `SPARK_GRAFT_CDC_CONV` scales the log (default: the driver benchmark's
+  * 100k conversations ≈ 448k events over 4 epochs).
   */
 object ApplyProfile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val conversations = sys.env.getOrElse("SPARK_GRAFT_CDC_CONV", "500000").toLong
-    val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "4").toInt
-    val spark = graft.Bench.session(cpus)
+    val conversations = sys.env.getOrElse("SPARK_GRAFT_CDC_CONV", "100000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val day = 24L * 3600 * 1000000L
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-    }
 
-    val cfg = GenConfig(numConversations = conversations,
-      hotConversations = 4, hotFragments = 4096, epochs = epochs)
-    val log = ChangeLogGen.generate(spark, cfg).repartition(cpus.toInt * 2).cache()
-    val n = t("generate+cache")(log.count())
-    println(s"[profile] events: $n over $epochs epochs")
-
-    val wh = java.nio.file.Files.createTempDirectory("prof").toString
-    val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
-
-    (0L until epochs.toLong).foreach { epoch =>
-      println(s"[profile] === epoch $epoch ===")
-      val rawEvents = log.filter(_.epoch == epoch)
-      val newEvents = rawEvents.withColumn("epoch", lit(epoch)).as[ChangeEvent]
-      val stats = t(s"e$epoch stats-agg") {
-        newEvents.toDF().agg(
-          count(lit(1)), coalesce(min("offset"), lit(0L)),
-          coalesce(max("offset"), lit(0L)), collect_set(eng.state.bucketCol))
-          .collect()(0)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(js.stageInfos.headOption.map(_.name)).getOrElse("?")
+        jobs.put(js.jobId, (js.time, desc.take(90)))
       }
-      val batchRows = stats.getLong(0)
-      val touched = stats.getSeq[Int](3).toSet
-      val priorState = eng.state.snapshot(spark, buckets = Some(touched))
-      val eventCols = spark.emptyDataset[ChangeEvent].columns
-      val priorTouchedRows = eng.state.latestManifest()
-        .map(_.files.filter(f => touched.contains(f.bucket)).map(_.rows).sum)
-        .getOrElse(0L)
-      val semiJoinWins = priorTouchedRows > 4L * math.max(batchRows, 1L)
-      println(s"[profile] e$epoch batchRows=$batchRows priorRows=$priorTouchedRows semiJoin=$semiJoinWins")
-      val priorEvents =
-        if (priorState.columns.isEmpty) spark.emptyDataset[ChangeEvent]
-        else {
-          val pruned =
-            if (semiJoinWins)
-              priorState.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
-            else priorState
-          pruned.select(eventCols.map(col): _*).as[ChangeEvent]
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(je.jobId)).foreach { case (t0, desc) =>
+          done.add((je.jobId, je.time - t0, desc))
         }
-      val cutoff = 14 * day
-      val out = priorEvents.union(newEvents)
-        .groupByKey(_.repo)
-        .flatMapGroups((repo, it) => CdcPipeline.applyGroup(repo, it, cutoff, epoch))
-        .cache()
-      val upserts = CdcPipeline.withRowSha(
-        out.filter(_.transfer.isDefined).map(_.transfer.get).toDF())
-      val freshEvents = out.filter(_.event.isDefined).map(_.event.get).toDF()
-        .withColumn("content_sha256", sha2(col("content"), 256))
-      t(s"e$epoch fold+cache (count)")(out.count())
-      t(s"e$epoch appendNew")(
-        eng.state.appendNew(freshEvents, epoch,
-          touchedBuckets = Some(touched), assumeNew = true))
-      t(s"e$epoch mergeDelta")(
-        eng.transfers.mergeDelta(upserts, epoch, touchedBuckets = Some(touched)))
-      out.unpersist()
+      }
+    })
+
+    val day = 24L * 3600 * 1000000L
+    val cfg = GenConfig(numConversations = conversations,
+      hotConversations = 4, hotFragments = 4096, epochs = 4)
+    val log = ChangeLogGen.generate(spark, cfg)
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    println(s"events: ${log.count()}")
+
+    val wh = java.nio.file.Files.createTempDirectory("profile-cdc").toString
+    val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
+    (0L until cfg.epochs.toLong).foreach { e =>
+      done.clear()
+      val t0 = System.nanoTime()
+      eng.applyEpoch(spark, log.filter(_.epoch == e), e)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // drain after the epoch: listener events are async but the queue is
+      // settled once the action returns (concurrent commit futures joined)
+      Thread.sleep(200)
+      val rows = done.iterator()
+      println(f"---- epoch $e: wall $wall%.2fs ----")
+      var sum = 0L
+      while (rows.hasNext) {
+        val (id, ms, desc) = rows.next()
+        sum += ms
+        println(f"  job $id%3d  ${ms / 1000.0}%6.2fs  $desc")
+      }
+      println(f"  (job time sum ${sum / 1000.0}%.2fs vs wall $wall%.2fs — gap = driver-side)")
     }
-    println(s"[profile] warehouse: $wh")
     spark.stop()
   }
 }
