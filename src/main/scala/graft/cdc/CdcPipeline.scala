@@ -283,7 +283,11 @@ final class CdcEngine(
     // maintenance/rebucket epochs share this number space, so ingest and
     // maintenance ids must be disjoint.
     (transfers.manifestAt(epoch), state.manifestAt(epoch)) match {
-      case (Some(t), Some(_)) => return t
+      case (Some(t), Some(st)) =>
+        require(t.kind == "write" && st.kind == "write",
+          s"epoch $epoch already used by a '${if (t.kind != "write") t.kind else st.kind}' " +
+            "maintenance commit — ingest and maintenance epoch ids must be disjoint")
+        return t
       case _ => ()
     }
 

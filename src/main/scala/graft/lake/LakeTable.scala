@@ -47,6 +47,14 @@ final case class Manifest(
     files: Seq[FileEntry],   // the COMPLETE live set (snapshot-style)
     metadata: Map[String, String],
     lineage: Map[String, Long], // e.g. minOffset/maxOffset/upsertRows/totalRows
+    /** What produced this epoch: "write" (merge/mergeDelta/appendNew),
+      * "compact", or "rebucket". Epoch ids are one shared number space per
+      * table, so the skip-if-present guards use this to turn an id
+      * COLLISION (an ingest epoch reusing a maintenance id, or vice versa)
+      * into a loud error instead of a silent lost write. Absent in
+      * pre-field manifests → renormalized to "write".
+      */
+    kind: String = "write",
 )
 
 /** A key-bucketed, copy-on-write, MERGE-upsert lake table over plain Parquet
@@ -151,7 +159,8 @@ final class LakeTable(
           .map { case (k, v) => k -> v.asInstanceOf[Number].longValue },
         files = m.files.map(f => f.copy(
           min0 = if (f.min0 == null) None else f.min0,
-          max0 = if (f.max0 == null) None else f.max0))))
+          max0 = if (f.max0 == null) None else f.max0)),
+        kind = if (m.kind == null) "write" else m.kind))
     }
   }
 
@@ -159,6 +168,21 @@ final class LakeTable(
   def manifestAsOf(asOf: Long): Option[Manifest] = {
     val epochs = committedEpochs().filter(_ <= asOf)
     if (epochs.isEmpty) None else manifestAt(epochs.max)
+  }
+
+  /** Skip-if-present resolution: the already-committed manifest at `epoch`,
+    * REQUIRED to be of the kind this caller would have written. Epoch ids
+    * are one number space per table; a mismatch means an ingest id collided
+    * with a maintenance id (or vice versa) — silently "skipping" would lose
+    * the caller's write, so it throws instead.
+    */
+  private def committedAs(epoch: Long, expected: String): Manifest = {
+    val m = manifestAt(epoch).get
+    if (m.kind != expected)
+      throw new IllegalStateException(
+        s"epoch $epoch of $root is already a '${m.kind}' commit, not '$expected' — " +
+          "ingest and maintenance epoch ids must be disjoint")
+    m
   }
 
   /** The LIVE bucket count — manifests record it per epoch, so `rebucket`
@@ -325,7 +349,7 @@ final class LakeTable(
     */
   def compact(spark: SparkSession, epoch: Long): Manifest = {
     if (Files.exists(manifestPath(epoch)))
-      return manifestAt(epoch).get
+      return committedAs(epoch, "compact")
     val parent = latestManifest().getOrElse(
       throw new IllegalStateException("compact requires an existing table"))
     require(parent.epoch < epoch, s"epoch $epoch not after ${parent.epoch}")
@@ -338,6 +362,7 @@ final class LakeTable(
       schemaId = parent.schemaId,
       schemaJson = parent.schemaJson,
       keyColumns = keyColumns,
+      kind = "compact",
       numBuckets = parent.numBuckets,
       files = files,
       metadata = parent.metadata,
@@ -373,7 +398,7 @@ final class LakeTable(
               */
             touchedBuckets: Option[Set[Int]] = None): Manifest = {
     if (Files.exists(manifestPath(epoch)))
-      return manifestAt(epoch).get // exactly-once: epoch already committed
+      return committedAs(epoch, "write") // exactly-once: epoch already committed
 
     val spark = upserts.sparkSession
     val parent = latestManifest()
@@ -502,7 +527,7 @@ final class LakeTable(
                    */
                  compactInline: Boolean = true): Manifest = {
     if (Files.exists(manifestPath(epoch)))
-      return manifestAt(epoch).get
+      return committedAs(epoch, "write")
 
     val spark = upserts.sparkSession
     val parent = latestManifest()
@@ -579,7 +604,7 @@ final class LakeTable(
                 /** false ⇒ skip inline compaction (see mergeDelta). */
                 compactInline: Boolean = true): Manifest = {
     if (Files.exists(manifestPath(epoch)))
-      return manifestAt(epoch).get
+      return committedAs(epoch, "write")
 
     val spark = upserts.sparkSession
     val parent = latestManifest()
@@ -767,7 +792,7 @@ final class LakeTable(
     */
   def rebucket(spark: SparkSession, newNumBuckets: Int, epoch: Long): Manifest = {
     if (Files.exists(manifestPath(epoch)))
-      return manifestAt(epoch).get
+      return committedAs(epoch, "rebucket")
     val parent = latestManifest().getOrElse(
       throw new IllegalStateException("rebucket requires an existing table"))
     require(parent.epoch < epoch, s"epoch $epoch not after ${parent.epoch}")
@@ -797,6 +822,7 @@ final class LakeTable(
       keyColumns = keyColumns,
       numBuckets = newNumBuckets,
       files = files,
+      kind = "rebucket",
       metadata = parent.metadata + ("rebucketed-from" -> parent.numBuckets.toString),
       lineage = Map("totalRows" -> files.map(_.rows).sum),
     )

@@ -283,6 +283,29 @@ class CdcEngineSpec extends SparkSpec {
     assert(lastFiles.exists(_.bucket >= 4), s"new layout unused: $lastFiles")
   }
 
+  test("ingest/maintenance epoch-id collision fails loudly, not as a silent skip") {
+    val eng = new CdcEngine(tmpDir("collide"), numBuckets = 4, cutoffMicros = 14 * day)
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    eng.rebucket(spark, newNumBuckets = 8, epoch = 1L) // maintenance takes id 1
+    assert(eng.transfers.manifestAt(1L).get.kind == "rebucket")
+
+    // an ingest batch reusing the maintenance id used to no-op silently
+    // (skip-if-present) — the batch would be LOST; now it throws
+    intercept[IllegalArgumentException] {
+      eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L)
+    }
+    // same guard one level down, against each table's skip-if-present
+    intercept[IllegalStateException] {
+      eng.transfers.mergeDelta(eng.currentTransfers(spark).limit(1), 1L)
+    }
+    intercept[IllegalStateException] {
+      eng.transfers.compact(spark, 1L) // compact replaying a rebucket id
+    }
+    // the disjoint id continues the chain normally
+    eng.applyEpoch(spark, log.filter(_.epoch == 1L), 2L)
+    assert(eng.committedThrough().contains(2L))
+  }
+
   test("observability counters land in the transfers manifest lineage") {
     import graft.classifier.{Interactions, SpineMessage}
     val t0 = 1577836800000000L
