@@ -478,7 +478,13 @@ final class LakeTable(
   }
 
   /** Schema evolution: merged = parent schema ∪ upsert schema (by name);
-    * new columns land nullable, schemaId bumps iff the schema changed.
+    * new columns land nullable, schemaId bumps iff the schema changed. A
+    * name shared with the table must keep the table's type: an upsert
+    * column that merely UP-CASTS (int→long, float→double, non-null→null)
+    * is accepted and cast by `conformTo`; anything else throws HERE — the
+    * old behavior selected the mismatched column as-is, writing parquet
+    * whose physical type contradicted the manifest schema, and the
+    * corruption only surfaced at some later read far from its cause.
     */
   private def evolveSchema(parent: Option[Manifest],
                            upsertSchema: StructType): (StructType, Int) = {
@@ -486,6 +492,16 @@ final class LakeTable(
       case None => upsertSchema
       case Some(p) =>
         val old = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        old.fields.foreach { f =>
+          upsertSchema.fields.find(_.name == f.name).foreach { u =>
+            require(u.dataType == f.dataType ||
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(u.dataType, f.dataType),
+              s"column '${f.name}': upsert type ${u.dataType.simpleString} cannot " +
+                s"evolve table type ${f.dataType.simpleString} — stored column " +
+                "types are fixed; only upcast-compatible upserts are accepted")
+          }
+        }
         val extra = upsertSchema.fields.filter(f => !old.fieldNames.contains(f.name))
         StructType(old.fields ++ extra.map(f => StructField(f.name, f.dataType, nullable = true)))
     }
@@ -498,9 +514,13 @@ final class LakeTable(
   }
 
   private def conformTo(schema: StructType)(df: DataFrame): DataFrame =
-    df.select(schema.fields.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+    df.select(schema.fields.map { f =>
+      if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else if (df.schema(f.name).dataType == f.dataType) col(f.name)
+      // evolveSchema guaranteed this is an upcast — align the physical type
+      // with the manifest schema before writing
+      else col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
 
   /** Merge-on-read upsert: writes ONLY the upsert rows as a per-epoch delta
     * (one file set per touched bucket); existing rows with the same key stay

@@ -298,4 +298,26 @@ class LakeMorSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
     assert(snap.toSeq == Seq(("a", 1L, None), ("b", 3L, Some("x")), ("c", 4L, Some("y"))))
   }
+
+  test("type evolution: upcast-compatible upserts are cast, anything else throws at commit") {
+    val t = new LakeTable(tmpDir("type-evo") + "/t", numBuckets = 2,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    t.mergeDelta(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), epoch = 0L) // v: long
+
+    // an int upsert upcasts into the long column — stored type unchanged
+    t.mergeDelta(Seq(("b", 30), ("c", 40)).toDF("k", "v"), epoch = 1L)
+    assert(t.latestManifest().get.schemaId == 1, "upcast must not bump the schema")
+    val snap = LakeTable.readSnapshot(t, spark).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(snap.toSeq == Seq(("a", 1L), ("b", 30L), ("c", 40L)))
+
+    // a string upsert into the long column used to write parquet whose
+    // physical type contradicted the manifest schema (corruption surfacing
+    // only at a later read) — it must throw AT THE COMMIT
+    val bad = intercept[IllegalArgumentException] {
+      t.mergeDelta(Seq(("d", "oops")).toDF("k", "v"), epoch = 2L)
+    }
+    assert(bad.getMessage.contains("cannot"), bad.getMessage)
+    assert(t.latestManifest().get.epoch == 1L, "failed commit must not land")
+  }
 }
