@@ -324,11 +324,20 @@ final class LakeTable(
         .groupBy("__bucket").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       else inByBucket.map { case (b, fs) => b -> fs.map(_.rows).sum }
+    // Derived bounds must use the SAME comparator that wrote them and that
+    // mayContain prunes with — UTF8String byte order. Scala's String
+    // ordering (UTF-16 code units) disagrees for supplementary characters
+    // (a 4-byte UTF-8 sequence sorts above U+E000..U+FFFF in byte order but
+    // below in UTF-16), so min/max under the wrong order can UNDER-cover
+    // the true range and pruning would silently drop live rows.
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     val cEntries = rowsByBucket.toSeq.sortBy(_._1).map { case (b, rows) =>
       val ins = inByBucket(b)
       // derived bounds: only when every input carries bounds
-      val mn = if (ins.forall(_.min0.isDefined)) Some(ins.flatMap(_.min0).min) else None
-      val mx = if (ins.forall(_.max0.isDefined)) Some(ins.flatMap(_.max0).max) else None
+      val mn = if (ins.forall(_.min0.isDefined)) Some(ins.flatMap(_.min0).min(utf8Order)) else None
+      val mx = if (ins.forall(_.max0.isDefined)) Some(ins.flatMap(_.max0).max(utf8Order)) else None
       FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch, mn, mx)
     }
     (files.filterNot(cInput.contains) ++ cEntries).sortBy(_.bucket)

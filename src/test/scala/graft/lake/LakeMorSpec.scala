@@ -299,6 +299,27 @@ class LakeMorSpec extends SparkSpec {
     assert(snap.toSeq == Seq(("a", 1L, None), ("b", 3L, Some("x")), ("c", 4L, Some("y"))))
   }
 
+  test("derived compaction bounds use UTF8 byte order — supplementary keys stay findable") {
+    // "😀" (U+1F600, 4-byte UTF-8) sorts ABOVE "" in the
+    // UTF8String byte order that wrote the per-file bounds, but BELOW it in
+    // Scala's UTF-16 String order. Deriving compacted bounds under the
+    // wrong order makes max0 under-cover the range and bounds pruning then
+    // silently drops the key's file from point lookups.
+    val emoji = "😀"
+    val t = new LakeTable(tmpDir("utf8-bounds") + "/t", numBuckets = 1,
+      keyColumns = Seq("k"), mergeOnRead = true, compactThreshold = 2)
+    t.mergeDelta(Seq(("", 1L)).toDF("k", "v"), epoch = 0L)
+    t.mergeDelta(Seq((emoji, 2L)).toDF("k", "v"), epoch = 1L)
+    t.mergeDelta(Seq(("a", 3L)).toDF("k", "v"), epoch = 2L)
+    // 3 live files > effectiveThreshold(0)=2 — this commit compacts them
+    // into one derived-bounds entry
+    t.mergeDelta(Seq(("b", 4L)).toDF("k", "v"), epoch = 3L)
+    assert(t.latestManifest().get.files.exists(_.path.contains("c/")),
+      "fixture must exercise the derived-bounds compaction path")
+    val hit = t.lookup(spark, Map("k" -> emoji)).select("v").as[Long].collect()
+    assert(hit.toSeq == Seq(2L), s"supplementary key lost to bounds pruning: ${hit.toSeq}")
+  }
+
   test("type evolution: upcast-compatible upserts are cast, anything else throws at commit") {
     val t = new LakeTable(tmpDir("type-evo") + "/t", numBuckets = 2,
       keyColumns = Seq("k"), mergeOnRead = true)
