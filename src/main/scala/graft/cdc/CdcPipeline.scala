@@ -248,6 +248,18 @@ final class CdcEngine(
       * spiking when a bucket crosses its compaction threshold.
       */
     val inlineCompaction: Boolean = true,
+    /** Organisation dimension (monthly snapshots, `Enrichment.OrgDimRow`
+      * shape). When set, the engine ALSO maintains an `enriched` lake table:
+      * each epoch's transfer upserts pass through `Enrichment.enrich` (two
+      * broadcast joins over the O(batch) upserts — the big side is never
+      * shuffled) before a third concurrent merge-on-read commit, so the
+      * reference pipeline's final output (classified + org metadata) is
+      * itself incrementally maintained instead of recomputed O(table) per
+      * read. The dim is fixed for the engine's lifetime, like a reference
+      * run loading its metadata once; a dim UPDATE does not re-enrich
+      * already-committed rows.
+      */
+    val dim: Option[DataFrame] = None,
 ) {
   val state = new LakeTable(s"$warehouse/state", numBuckets,
     keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"))
@@ -256,6 +268,10 @@ final class CdcEngine(
   // O(the whole bucket rewritten) (the COW write-amplification fix)
   val transfers = new LakeTable(s"$warehouse/transfers", numBuckets,
     keyColumns = Seq("repo"), mergeOnRead = morTransfers)
+  /** The enriched-output table — only when a `dim` is supplied. */
+  val enriched: Option[LakeTable] = dim.map(_ =>
+    new LakeTable(s"$warehouse/enriched", numBuckets,
+      keyColumns = Seq("repo"), mergeOnRead = morTransfers))
 
   /** Apply one epoch of change events. Returns the transfers-table manifest.
     *
@@ -282,10 +298,12 @@ final class CdcEngine(
     // checkpoints own their batchId numbering — see StreamingIngest), and
     // maintenance/rebucket epochs share this number space, so ingest and
     // maintenance ids must be disjoint.
-    (transfers.manifestAt(epoch), state.manifestAt(epoch)) match {
-      case (Some(t), Some(st)) =>
-        require(t.kind == "write" && st.kind == "write",
-          s"epoch $epoch already used by a '${if (t.kind != "write") t.kind else st.kind}' " +
+    (transfers.manifestAt(epoch), state.manifestAt(epoch),
+        enriched.map(_.manifestAt(epoch))) match {
+      case (Some(t), Some(st), e) if e.forall(_.isDefined) =>
+        val kinds = Seq(Some(t), Some(st), e.flatten).flatten.map(_.kind)
+        require(kinds.forall(_ == "write"),
+          s"epoch $epoch already used by a '${kinds.find(_ != "write").get}' " +
             "maintenance commit — ingest and maintenance epoch ids must be disjoint")
         return t
       case _ => ()
@@ -466,8 +484,24 @@ final class CdcEngine(
           transfers.merge(upserts, epoch,
             metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
       }
+      val enrichedF = enriched.map { tbl =>
+        Future {
+          desc("enriched commit (mergeDelta)")
+          // enrich ONLY the epoch's upserts (O(batch); two broadcast joins,
+          // no shuffle of the upsert side) — same rows per bucket as the
+          // transfers commit, so its precomputed stats apply when the
+          // bucketing matches
+          val sameB = tbl.currentNumBuckets == state.currentNumBuckets
+          tbl.mergeDelta(Enrichment.enrich(upserts, dim.get), epoch,
+            metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
+            precomputedStats = if (sameB) Some(transferStats) else None,
+            compactInline = inlineCompaction)
+        }
+      }
       Await.result(stateF, scala.concurrent.duration.Duration.Inf)
-      Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
+      val tManifest = Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
+      enrichedF.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      tManifest
     } finally {
       out.unpersist()
       spark.sparkContext.setJobDescription(null) // don't leak the tag to caller jobs
@@ -483,10 +517,9 @@ final class CdcEngine(
     * replays the exact in-flight batchId.)
     */
   def committedThrough(): Option[Long] = {
-    for {
-      t <- transfers.latestManifest()
-      s <- state.latestManifest()
-    } yield math.min(t.epoch, s.epoch)
+    val heads = Seq(Some(transfers), Some(state), enriched).flatten
+      .map(_.latestManifest())
+    if (heads.exists(_.isEmpty)) None else Some(heads.flatten.map(_.epoch).min)
   }
 
   /** Grow both tables' bucket counts (one epoch number each, state first) —
@@ -496,6 +529,7 @@ final class CdcEngine(
   def rebucket(spark: SparkSession, newNumBuckets: Int, epoch: Long): Unit = {
     state.rebucket(spark, newNumBuckets, epoch)
     transfers.rebucket(spark, newNumBuckets, epoch)
+    enriched.foreach(_.rebucket(spark, newNumBuckets, epoch))
   }
 
   /** Maintenance between ingest epochs: compact both tables' over-threshold
@@ -508,6 +542,7 @@ final class CdcEngine(
   def maintain(spark: SparkSession, epoch: Long): Unit = {
     state.compact(spark, epoch)
     transfers.compact(spark, epoch)
+    enriched.foreach(_.compact(spark, epoch))
   }
 
   /** Replay the full change log from scratch into a fresh warehouse dir and
@@ -515,6 +550,13 @@ final class CdcEngine(
     */
   def currentTransfers(spark: SparkSession): DataFrame =
     LakeTable.readSnapshot(transfers, spark)
+
+  /** Resolved snapshot of the incrementally-maintained enriched output
+    * (requires the engine to have been built with a `dim`).
+    */
+  def currentEnriched(spark: SparkSession): DataFrame =
+    LakeTable.readSnapshot(enriched.getOrElse(throw new IllegalStateException(
+      "engine was built without a dim — no enriched table")), spark)
 }
 
 object CdcEngine {

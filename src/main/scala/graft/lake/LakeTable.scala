@@ -540,6 +540,11 @@ final class LakeTable(
     * any bucket exceeding `compactThreshold` live files is compacted back
     * to a single file set inside the committing job. Schema-evolution,
     * exactly-once and crash-atomicity rules are identical to merge().
+    *
+    * REQUIRES one row per key per commit (same contract as merge; the
+    * classify fold emits exactly that): two versions of a key in ONE batch
+    * share an `__epoch` stamp, and `resolveLatest` would break the tie by
+    * partition read order — nondeterministic across replays.
     */
   def mergeDelta(upserts: DataFrame, epoch: Long,
                  metadata: Map[String, String] = Map.empty,

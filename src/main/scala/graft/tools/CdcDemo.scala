@@ -30,9 +30,11 @@ object CdcDemo {
     val dir = java.nio.file.Files.createTempDirectory("cdc-demo").toString
     val window = ReportingWindow(
       java.time.LocalDate.of(2019, 12, 1), java.time.LocalDate.of(2020, 1, 1), 14)
+    val dim = Enrichment.generateDim(spark, numAsids = 997,
+      yearMonths = Seq(201911, 201912))
     val eng = new CdcEngine(dir, numBuckets = 16, cutoffMicros = 14 * day,
       window = Some(window), odsMetadataMonth = Some(201912),
-      dimMonths = Some(Set(201911, 201912)))
+      dimMonths = Some(Set(201911, 201912)), dim = Some(dim))
     (0L until cfg.epochs.toLong).foreach { e =>
       val t0 = System.nanoTime()
       val m = eng.applyEpoch(spark, log.filter(_.epoch == e), e)
@@ -60,6 +62,11 @@ object CdcDemo {
     val b = eng2.currentTransfers(spark).select("repo", "row_sha256")
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     println(f"replay: $replaySec%.1fs, row_sha256 diffs = $diff (expect 0)")
+
+    // incrementally-maintained enriched output (third lake table)
+    val enr = eng.currentEnriched(spark)
+    val resolved = enr.filter(col("requesting_practice_ods_code").isNotNull).count()
+    println(f"\nenriched table: ${enr.count()} rows, $resolved with requesting practice resolved")
 
     println(s"\nwarehouse: $dir")
     val last = eng.transfers.latestManifest().get

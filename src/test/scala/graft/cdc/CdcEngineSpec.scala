@@ -283,6 +283,37 @@ class CdcEngineSpec extends SparkSpec {
     assert(lastFiles.exists(_.bucket >= 4), s"new layout unused: $lastFiles")
   }
 
+  test("incremental enrichment: the enriched table equals batch-enriching the full classify") {
+    val dim = Enrichment.generateDim(spark, numAsids = 997,
+      yearMonths = Seq(201911, 201912))
+    val eng = new CdcEngine(tmpDir("enriched"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(dim))
+    (0L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    assert(eng.committedThrough().contains(3L), "all three chains must advance")
+
+    // compare the sha-covered semantic columns + every enrichment column;
+    // the observability counters (duplicatesDropped etc.) are batching-
+    // dependent by design and excluded from row_sha256 for the same reason
+    val counters = Set("duplicatesDropped", "danglingAcks", "unknownPurpose",
+      "negativeSla")
+    def rowMap(df: DataFrame): Map[String, String] = {
+      val cols = df.columns.filterNot(counters).sorted.map(col)
+      df.select(col("repo"), to_json(struct(cols: _*)).as("j"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val got = rowMap(eng.currentEnriched(spark))
+    val want = rowMap(Enrichment.enrich(
+      CdcPipeline.withRowSha(CdcPipeline.classify(log, 14 * day).toDF()), dim))
+    assert(got.size == want.size)
+    assert(got == want,
+      "incrementally-maintained enrichment must equal the one-shot batch result")
+
+    // replay of a committed epoch is still a no-op with three chains
+    val before = eng.enriched.get.latestManifest().get
+    eng.applyEpoch(spark, log.filter(_.epoch == 3L), 3L)
+    assert(eng.enriched.get.latestManifest().get == before)
+  }
+
   test("ingest/maintenance epoch-id collision fails loudly, not as a silent skip") {
     val eng = new CdcEngine(tmpDir("collide"), numBuckets = 4, cutoffMicros = 14 * day)
     eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
