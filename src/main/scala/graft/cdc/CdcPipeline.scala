@@ -173,13 +173,23 @@ object CdcPipeline {
     }
     if (byCommit.isEmpty) return Iterator.empty
     val deduped = byCommit.values.toArray
-    val fresh = deduped.iterator.filter(_.epoch == currentEpoch)
-      .map(e => ApplyOut(None, Some(e)))
+    val fresh = deduped.filter(_.epoch == currentEpoch)
+    // Emit-on-change: no event of THIS epoch survived dedup ⇒ the session's
+    // input set — and therefore its classification — is exactly what the
+    // table already committed. Emitting it anyway (which the fold-everything
+    // regime and pure-redelivery batches otherwise would) re-stamps an
+    // identical row version: the change stream over-reports, downstream
+    // incremental consumers (exportDailyIncremental) rewrite unchanged
+    // partitions, and the commit writes O(touched sessions) instead of
+    // O(changed sessions). Counter-only drift (duplicatesDropped from a
+    // redelivered copy) is deliberately not re-committed — counters are
+    // diagnostics, excluded from row_sha256 for the same reason.
+    if (fresh.isEmpty) return Iterator.empty
     // the fold dedups BEFORE classify, so redelivery (in-batch or vs prior
     // state) is counted here, not by the classifier's inner dedup
     val transfer = classifyGroup(repo, deduped.iterator, cutoffMicros)
       .map(t => ApplyOut(Some(t.copy(duplicatesDropped = dupes)), None))
-    transfer.iterator ++ fresh
+    transfer.iterator ++ fresh.iterator.map(e => ApplyOut(None, Some(e)))
   }
 
   /** Canonical per-row hash of the classified output — the replay invariant:

@@ -20,4 +20,62 @@ object Export {
       .write.mode("overwrite")
       .partitionBy("date_requested_day")
       .parquet(outDir)
+
+  /** Incremental flavour: rewrite ONLY the day partitions affected since the
+    * exporter's last run, instead of re-exporting the whole table.
+    *
+    * The affected-day set is the days of the table's NEW row versions in
+    * `(sinceEpoch, asOf]` (the `changesSince` stream) PLUS the days those
+    * same keys occupied in the as-of-`sinceEpoch` snapshot — without the
+    * second term a re-classified session whose `date_requested` MOVED
+    * (a late-but-in-cutoff earlier request-start) would leave its stale row
+    * exported under the old day forever. Those days' current rows are then
+    * re-read from the resolved snapshot and dynamically overwritten
+    * (`partitionOverwriteMode=dynamic` — untouched day directories are not
+    * rewritten).
+    *
+    * Returns the rewritten day set (empty = nothing changed). The caller
+    * owns the cursor: persist `asOf` (e.g. the table's head epoch) and pass
+    * it back as the next call's `sinceEpoch`. Cost is O(changed rows +
+    * changed days' current rows), not O(table).
+    */
+  def exportDailyIncremental(table: graft.lake.LakeTable,
+                             spark: org.apache.spark.sql.SparkSession,
+                             outDir: String, sinceEpoch: Long,
+                             asOf: Long = Long.MaxValue): Seq[String] = {
+    val changes = table.changesSince(spark, sinceEpoch, asOf)
+    if (changes.columns.isEmpty) return Seq.empty
+    import spark.implicits._
+    val newDays = withDay(changes).select(col("date_requested_day"))
+    val movedFrom = {
+      val prior = table.snapshot(spark, asOf = sinceEpoch)
+      if (prior.columns.isEmpty) newDays.limit(0)
+      else withDay(prior.join(changes.select("repo").distinct(), Seq("repo"), "left_semi"))
+        .select(col("date_requested_day"))
+    }
+    val days = newDays.union(movedFrom).distinct().as[String].collect().toSeq.sorted
+    if (days.isEmpty) return Seq.empty
+    val current = withDay(table.snapshot(spark, asOf))
+      .filter(col("date_requested_day").isin(days: _*))
+    current
+      .repartition(col("date_requested_day"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date_requested_day")
+      .parquet(outDir)
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data — a day whose rows all moved away is written as nothing and its
+    // stale directory would survive; remove those explicitly
+    val nonEmpty = current.select("date_requested_day").distinct().as[String].collect().toSet
+    days.filterNot(nonEmpty).foreach { d =>
+      val dir = java.nio.file.Paths.get(outDir, s"date_requested_day=$d")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    days
+  }
 }

@@ -49,4 +49,79 @@ class ResumeAndExportSpec extends SparkSpec {
         =!= col("date_requested_day")).count()
     assert(bad == 0)
   }
+
+  test("incremental export rewrites only the changed days and equals a full re-export") {
+    // conversation starts advance one minute per id, so spanning several
+    // days needs >1440 ids; epochs partition by offset ⇒ later epochs touch
+    // later days and earlier days' exports must stay physically untouched
+    val wideCfg = GenConfig(numConversations = 3000, hotConversations = 0,
+      hotFragments = 0, redeliveryPermille = 20, epochs = 4)
+    val log = ChangeLogGen.generate(spark, wideCfg).cache()
+    val eng = new CdcEngine(tmpDir("inc-export"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    val out = tmpDir("inc-export-out")
+
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    val cursor = eng.transfers.latestManifest().get.epoch
+    val first = Export.exportDailyIncremental(eng.transfers, spark, out,
+      sinceEpoch = -1L, asOf = cursor)
+    assert(first.nonEmpty, "initial incremental run exports every day")
+
+    // snapshot each day dir's file set + mtimes before the second run
+    def dayFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("date_requested_day="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = dayFiles()
+
+    (2L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    val head = eng.transfers.latestManifest().get.epoch
+    val rewritten = Export.exportDailyIncremental(eng.transfers, spark, out,
+      sinceEpoch = cursor, asOf = head)
+    // epochs 2-3 are later conversations = later days; day 1 must not be in
+    // the rewrite set (emit-on-change keeps re-folded-but-unchanged
+    // bucket-mate sessions out of the change stream)
+    assert(rewritten.nonEmpty && !rewritten.contains("2020-01-01"),
+      s"unchanged day rewritten: $rewritten")
+
+    // untouched day dirs are physically untouched (same files, same mtimes)
+    val after = dayFiles()
+    val untouched = before.keySet.filterNot(d =>
+      rewritten.contains(d.stripPrefix("date_requested_day=")))
+    assert(untouched.nonEmpty)
+    untouched.foreach(d => assert(after(d) == before(d), s"$d was rewritten"))
+
+    // the incrementally-maintained export equals a full re-export
+    val full = tmpDir("full-export-out")
+    Export.exportDaily(eng.currentTransfers(spark), full)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("repo", "row_sha256", "date_requested_day")
+      .as[(String, String, String)].collect().toSet
+    assert(rows(out) == rows(full))
+  }
+
+  test("incremental export clears a day whose rows all moved away") {
+    import graft.lake.LakeTable
+    val t = new LakeTable(tmpDir("move") + "/t", numBuckets = 2,
+      keyColumns = Seq("repo"), mergeOnRead = true)
+    val d1 = 1577836800000000L // 2020-01-01
+    val d2 = d1 + 86400L * 1000000L // 2020-01-02
+    t.mergeDelta(Seq(("r1", d1), ("r2", d2)).toDF("repo", "dateRequestedMicros"), 0L)
+    val out = tmpDir("move-out")
+    assert(Export.exportDailyIncremental(t, spark, out, sinceEpoch = -1L, asOf = 0L)
+      == Seq("2020-01-01", "2020-01-02"))
+
+    // r1's session re-classifies onto day 2 (late-but-in-cutoff earlier
+    // start) — day 1 now holds nothing, and its stale export must go
+    t.mergeDelta(Seq(("r1", d2)).toDF("repo", "dateRequestedMicros"), 1L)
+    val rewritten = Export.exportDailyIncremental(t, spark, out,
+      sinceEpoch = 0L, asOf = 1L)
+    assert(rewritten == Seq("2020-01-01", "2020-01-02"),
+      s"the vacated day must be rewritten too: $rewritten")
+    assert(!new java.io.File(out, "date_requested_day=2020-01-01").exists(),
+      "vacated day directory must be removed")
+    val back = spark.read.parquet(out)
+      .select("repo", "date_requested_day").as[(String, String)].collect().toSet
+    assert(back == Set(("r1", "2020-01-02"), ("r2", "2020-01-02")))
+  }
 }
