@@ -42,9 +42,9 @@ final case class TransferRecord(
 object CdcPipeline {
 
   /** Allocation-free (tsMicros, offset) total order for the fold's sort. */
-  private val eventOrder: java.util.Comparator[ChangeEvent] =
-    new java.util.Comparator[ChangeEvent] {
-      override def compare(a: ChangeEvent, b: ChangeEvent): Int = {
+  private val eventOrder: java.util.Comparator[SlimEvent] =
+    new java.util.Comparator[SlimEvent] {
+      override def compare(a: SlimEvent, b: SlimEvent): Int = {
         val c = java.lang.Long.compare(a.tsMicros, b.tsMicros)
         if (c != 0) c else java.lang.Long.compare(a.offset, b.offset)
       }
@@ -59,18 +59,23 @@ object CdcPipeline {
     */
   def classify(events: Dataset[ChangeEvent], cutoffMicros: Long): Dataset[TransferRecord] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.repo).flatMapGroups { (repo, it) =>
-      classifyGroup(repo, it, cutoffMicros).iterator
-    }
+    // narrow Tungsten projection BEFORE the sessionize shuffle: the fold
+    // never reads path/lang/op, so they never cross the wire (the exchange
+    // carries SlimEvent rows — asserted in PlanSpec)
+    events.select(col("repo"), col("commit"), col("content"),
+        col("offset"), col("tsMicros"), col("epoch")).as[SlimEvent]
+      .groupByKey(_.repo).flatMapGroups { (repo, it) =>
+        classifyGroup(repo, it, cutoffMicros).iterator
+      }
   }
 
   /** Per-key fold, shared by the batch path above and the streaming
     * flatMapGroupsWithState path.
     */
   def classifyGroup(
-      repo: String, events: Iterator[ChangeEvent], cutoffMicros: Long): Option[TransferRecord] = {
+      repo: String, events: Iterator[SlimEvent], cutoffMicros: Long): Option[TransferRecord] = {
     // dedup by commit (event id), keep min offset — replay/redelivery idempotence
-    val byCommit = mutable.HashMap.empty[String, ChangeEvent]
+    val byCommit = mutable.HashMap.empty[String, SlimEvent]
     var dupes = 0L
     events.foreach { e =>
       byCommit.get(e.commit) match {
@@ -187,7 +192,7 @@ object CdcPipeline {
     if (fresh.isEmpty) return Iterator.empty
     // the fold dedups BEFORE classify, so redelivery (in-batch or vs prior
     // state) is counted here, not by the classifier's inner dedup
-    val transfer = classifyGroup(repo, deduped.iterator, cutoffMicros)
+    val transfer = classifyGroup(repo, deduped.iterator.map(_.slim), cutoffMicros)
       .map(t => ApplyOut(Some(t.copy(duplicatesDropped = dupes)), None))
     transfer.iterator ++ fresh.iterator.map(e => ApplyOut(None, Some(e)))
   }

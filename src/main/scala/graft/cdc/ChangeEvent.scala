@@ -19,4 +19,22 @@ final case class ChangeEvent(
     op: String,
     tsMicros: Long,
     epoch: Long,
+) {
+  def slim: SlimEvent = SlimEvent(repo, commit, content, offset, tsMicros, epoch)
+}
+
+/** The fold's working row: exactly the fields the classify fold reads.
+  * `path`/`lang`/`op` never cross the sessionize shuffle — on the
+  * memory-bandwidth-bound classify path (BASELINE.md §2) every byte
+  * shuffled per event is DRAM traffic on both sides of the exchange, and
+  * the full apply path (which must persist whole events to state) pays
+  * them only where it needs them.
+  */
+final case class SlimEvent(
+    repo: String,
+    commit: String,
+    content: String,
+    offset: Long,
+    tsMicros: Long,
+    epoch: Long,
 )

@@ -60,6 +60,26 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$plan")
   }
 
+  test("session classify shuffle carries SlimEvent rows — path/lang/op never cross the wire") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val cfg = graft.cdc.GenConfig(numConversations = 10)
+    val events = graft.cdc.ChangeLogGen.generate(spark, cfg)
+    // exchanges are inserted by EnsureRequirements and AQE hides them until
+    // execution — build this one plan with AQE off to inspect the exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchange = graft.cdc.CdcPipeline.classify(events, 0L)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchange.size == 1)
+      // what crosses the wire is the exchange child's output row
+      val carried = exchange.head.child.output.map(_.name).toSet
+      assert(!carried.exists(Set("path", "lang", "op")),
+        s"classify shuffle must not carry unused event columns: $carried")
+      assert(carried.exists(_.startsWith("content")), s"sanity: $carried")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mi01: the ordered group-by reuses ONE shuffle for window + aggregate") {
     // exchanges are inserted by EnsureRequirements → inspect executedPlan
     val plan = SparkEntry.queries("mi01_mi_transfers")(spark, sf)

@@ -20,8 +20,8 @@ object IdempotenceProps extends Properties("CdcFold") {
   property("fold is order-insensitive") = forAll(convGen, Gen.long) { (conv, seed) =>
     val events = eventsOf(conv)
     val shuffled = new scala.util.Random(seed).shuffle(events)
-    CdcPipeline.classifyGroup(f"repo-$conv%010d", events.iterator, 14 * day) ==
-      CdcPipeline.classifyGroup(f"repo-$conv%010d", shuffled.iterator, 14 * day)
+    CdcPipeline.classifyGroup(f"repo-$conv%010d", events.iterator.map(_.slim), 14 * day) ==
+      CdcPipeline.classifyGroup(f"repo-$conv%010d", shuffled.iterator.map(_.slim), 14 * day)
   }
 
   property("fold is redelivery-idempotent (any duplication at later offsets)") =
@@ -31,8 +31,8 @@ object IdempotenceProps extends Properties("CdcFold") {
       val dupes = events.filter(_ => rng.nextBoolean())
         .map(e => e.copy(offset = e.offset + 100000L + rng.nextInt(1000)))
       val noisy = rng.shuffle(events ++ dupes ++ dupes)
-      val clean = CdcPipeline.classifyGroup(f"repo-$conv%010d", events.iterator, 14 * day)
-      val redelivered = CdcPipeline.classifyGroup(f"repo-$conv%010d", noisy.iterator, 14 * day)
+      val clean = CdcPipeline.classifyGroup(f"repo-$conv%010d", events.iterator.map(_.slim), 14 * day)
+      val redelivered = CdcPipeline.classifyGroup(f"repo-$conv%010d", noisy.iterator.map(_.slim), 14 * day)
       clean.map(_.copy(duplicatesDropped = 0)) ==
         redelivered.map(_.copy(duplicatesDropped = 0))
     }
