@@ -209,7 +209,7 @@ object CdcPipeline {
     Set("row_sha256", "duplicatesDropped", "danglingAcks", "unknownPurpose", "negativeSla")
 
   def withRowSha(df: DataFrame): DataFrame = {
-    val dataCols = df.columns.filterNot(shaExcluded).sorted.map(col)
+    val dataCols = df.columns.filterNot(shaExcluded).sorted.toIndexedSeq.map(col)
     df.withColumn("row_sha256", sha2(to_json(struct(dataCols: _*)), 256))
   }
 }
@@ -374,7 +374,7 @@ final class CdcEngine(
           if (semiJoinWins)
             priorState.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
           else priorState
-        pruned.select(eventCols.map(col): _*).as[ChangeEvent]
+        pruned.select(eventCols.toIndexedSeq.map(col): _*).as[ChangeEvent]
       }
 
     // locals only in the closure — capturing the fields would serialize the

@@ -443,7 +443,7 @@ final class LakeTable(
             .parquet(rewritten.map(f => s"$root/${f.path}"): _*)
           val existing = if (mergeOnRead) resolveLatest(raw) else raw
           Some(existing
-            .select((mergedSchema.fields.map(f =>
+            .select((mergedSchema.fields.toIndexedSeq.map(f =>
               if (existing.columns.contains(f.name)) col(f.name)
               else lit(null).cast(f.dataType).as(f.name)) :+ col("__epoch")): _*)
             .withColumn("__bucket", bucketCol)
@@ -523,7 +523,7 @@ final class LakeTable(
   }
 
   private def conformTo(schema: StructType)(df: DataFrame): DataFrame =
-    df.select(schema.fields.map { f =>
+    df.select(schema.fields.toIndexedSeq.map { f =>
       if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
       else if (df.schema(f.name).dataType == f.dataType) col(f.name)
       // evolveSchema guaranteed this is an upcast — align the physical type
