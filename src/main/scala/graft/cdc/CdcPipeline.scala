@@ -355,7 +355,6 @@ final class CdcEngine(
     val touched = stats.getSeq[Int](3).toSet
 
     val priorState = state.snapshot(spark, buckets = Some(touched))
-    val eventCols = spark.emptyDataset[ChangeEvent].columns
     // Semi-join gate: manifest row counts (free — no Spark job) tell how
     // much prior state the touched buckets hold. When prior dwarfs the batch
     // (steady incremental state at scale), a semi-join on the batch's repos
@@ -374,7 +373,19 @@ final class CdcEngine(
           if (semiJoinWins)
             priorState.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
           else priorState
-        pruned.select(eventCols.toIndexedSeq.map(col): _*).as[ChangeEvent]
+        // Prior-state events are folded but never RE-persisted (only
+        // fresh, current-epoch events reach the state sink), and the fold
+        // reads only content + the envelope — so path/lang/op are null
+        // LITERALS here: parquet never reads those columns (column
+        // pruning) and the steady state's majority shuffle rows drop
+        // ~their bytes. Batch events keep full fields; the dedup keeps
+        // whichever copy wins, and a prior-copy win is by definition not
+        // fresh, so nulls never reach durable state.
+        pruned.select(
+          col("repo"), lit(null).cast("string").as("path"), col("commit"),
+          lit(null).cast("string").as("lang"), col("content"),
+          col("offset"), lit(null).cast("string").as("op"),
+          col("tsMicros"), col("epoch")).as[ChangeEvent]
       }
 
     // locals only in the closure — capturing the fields would serialize the

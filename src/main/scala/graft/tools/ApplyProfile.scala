@@ -27,6 +27,8 @@ object ApplyProfile {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val scanBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -39,6 +41,11 @@ object ApplyProfile {
           done.add((je.jobId, je.time - t0, desc))
         }
       }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          scanBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
     })
 
     val day = 24L * 3600 * 1000000L
@@ -51,7 +58,7 @@ object ApplyProfile {
     val wh = java.nio.file.Files.createTempDirectory("profile-cdc").toString
     val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
     (0L until cfg.epochs.toLong).foreach { e =>
-      done.clear()
+      done.clear(); shuffleBytes.set(0L); scanBytes.set(0L)
       val t0 = System.nanoTime()
       eng.applyEpoch(spark, log.filter(_.epoch == e), e)
       val wall = (System.nanoTime() - t0) / 1e9
@@ -67,6 +74,7 @@ object ApplyProfile {
         println(f"  job $id%3d  ${ms / 1000.0}%6.2fs  $desc")
       }
       println(f"  (job time sum ${sum / 1000.0}%.2fs vs wall $wall%.2fs — gap = driver-side)")
+      println(f"  shuffle bytes written ${shuffleBytes.get()}%,d  input bytes read ${scanBytes.get()}%,d")
     }
     spark.stop()
   }

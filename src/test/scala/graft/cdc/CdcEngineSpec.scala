@@ -283,6 +283,16 @@ class CdcEngineSpec extends SparkSpec {
     assert(lastFiles.exists(_.bucket >= 4), s"new layout unused: $lastFiles")
   }
 
+  test("slimmed prior-event projection never leaks nulls into durable state") {
+    // prior-state events cross the fold with null path/lang/op (they are
+    // never re-persisted); if one ever won freshness it would null a
+    // durable column — assert every committed state row stays fully typed
+    val eng = buildIncremental(tmpDir("slim-state"), Seq(0L, 1L, 2L, 3L))
+    val stateRows = LakeTable.readSnapshot(eng.state, spark)
+    assert(stateRows.filter(
+      col("path").isNull || col("lang").isNull || col("op").isNull).count() == 0)
+  }
+
   test("incremental enrichment: the enriched table equals batch-enriching the full classify") {
     val dim = Enrichment.generateDim(spark, numAsids = 997,
       yearMonths = Seq(201911, 201912))
