@@ -70,10 +70,22 @@ object Bench {
         // that belongs to no epoch (same policy as the query warm-up above)
         val warmLog = ChangeLogGen.generate(spark, GenConfig(
           numConversations = 64, hotConversations = 0, hotFragments = 0, epochs = 1))
-        val warmWh = java.nio.file.Files.createTempDirectory("bench-warm").toString
-        new CdcEngine(warmWh, numBuckets = 4, cutoffMicros = 14L * 24 * 3600 * 1000000L)
-          .applyEpoch(spark, warmLog, 0L)
-      } catch { case _: Throwable => }
+        val warmWh = java.nio.file.Files.createTempDirectory("bench-warm")
+        try {
+          new CdcEngine(warmWh.toString, numBuckets = 4,
+              cutoffMicros = 14L * 24 * 3600 * 1000000L)
+            .applyEpoch(spark, warmLog, 0L)
+        } finally { // the warm warehouse is throwaway — don't leak it per run
+          val walk = java.nio.file.Files.walk(warmWh)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      } catch {
+        // a broken warm-up must be VISIBLE (the first timed epoch silently
+        // absorbing JIT cost looks like a regression), but not fatal
+        case t: Throwable => System.err.println(s"[bench] warm-up failed: $t")
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

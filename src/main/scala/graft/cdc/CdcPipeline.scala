@@ -270,12 +270,41 @@ final class CdcEngine(
       * shuffled) before a third concurrent merge-on-read commit, so the
       * reference pipeline's final output (classified + org metadata) is
       * itself incrementally maintained instead of recomputed O(table) per
-      * read. The dim is fixed for the engine's lifetime, like a reference
-      * run loading its metadata once; a dim UPDATE does not re-enrich
-      * already-committed rows.
+      * read. The dim seeds the engine; a later snapshot refresh (the
+      * reference reloads metadata per run, `transfer_classifier.py:171-193`,
+      * so a monthly ODS refresh there retroactively affects the next run's
+      * output) is applied CDC-natively via `applyDimUpdate`: the delta
+      * replaces the active dim for subsequent epochs AND re-enriches only
+      * the already-committed rows the changed (asid, month) keys touch.
       */
     val dim: Option[DataFrame] = None,
+    /** true ⇒ an epoch whose batch contains transfers with NO dim snapshot
+      * for the request month or its previous month ABORTS (before any table
+      * commits) instead of null-padding + counting — the reference's
+      * fail-fast (`organisation_metadata_monthly.py:26-34` raises
+      * OdsMetadataNotFound). Requires `dimMonths` to be declared; the
+      * aborted epoch is side-effect-free, so the caller can refresh the dim
+      * (applyDimUpdate) and retry the SAME epoch id.
+      */
+    val strictDimMonths: Boolean = false,
 ) {
+  /** The dim in force for subsequent epoch enrichment — starts as the
+    * constructor `dim`, replaced by `applyDimUpdate`.
+    */
+  @volatile private var activeDim: Option[DataFrame] = dim
+  def currentDim: Option[DataFrame] = activeDim
+
+  /** Months with a dim snapshot, as currently known — the constructor
+    * declaration extended by every `applyDimUpdate` delta, so a strict-mode
+    * abort heals by refreshing the dim and retrying the same epoch id.
+    */
+  @volatile private var activeDimMonths: Option[Set[Int]] = dimMonths
+  def currentDimMonths: Option[Set[Int]] = activeDimMonths
+
+  require(!strictDimMonths || dimMonths.isDefined,
+    "strictDimMonths requires dimMonths — the engine can only fail fast on " +
+      "months it knows are missing")
+
   val state = new LakeTable(s"$warehouse/state", numBuckets,
     keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"))
   // merge-on-read: per-epoch deltas + read-time last-writer-wins + bounded
@@ -322,6 +351,27 @@ final class CdcEngine(
             "maintenance commit — ingest and maintenance epoch ids must be disjoint")
         return t
       case _ => ()
+    }
+
+    // Collision pre-flight for the HALF-committed fall-through: validate the
+    // epoch id against EVERY table's manifest chain BEFORE any commit future
+    // launches. Without this, a maintenance commit squatting on `epoch` in
+    // (say) the transfers chain only throws inside its own commit future —
+    // AFTER the concurrent state appendNew may have durably committed the
+    // batch's events under the contested id. A retry under a corrected
+    // (different) id then re-stamps the batch, dedup resolves every commit
+    // to the already-durable earlier-epoch copy, `fresh` comes back empty,
+    // and the sessions' transfer rows are silently never written. Aborting
+    // here — before the fold, before either sink — keeps the failed epoch
+    // side-effect-free, so the caller may retry under the SAME or a new id.
+    (Seq(transfers -> "transfers", state -> "state") ++
+        enriched.map(_ -> "enriched")).foreach { case (tbl, name) =>
+      tbl.manifestAt(epoch).foreach { m =>
+        require(m.kind == "write",
+          s"epoch $epoch of $name is already a '${m.kind}' maintenance commit — " +
+            "ingest and maintenance epoch ids must be disjoint (aborting before " +
+            "any table commits)")
+      }
     }
 
     // Re-stamp the batch with THIS epoch. Freshness (which events the fold
@@ -410,7 +460,7 @@ final class CdcEngine(
       // for BOTH table commits plus the observability counter sums —
       // replaces three separate aggregation jobs per epoch (per-epoch
       // barriers are the fixed cost that dominates small batches)
-      val missingDimFlag: org.apache.spark.sql.Column = dimMonths match {
+      val missingDimFlag: org.apache.spark.sql.Column = activeDimMonths match {
         case Some(ms) =>
           val ts = timestamp_micros(col("transfer.dateRequestedMicros"))
           val ym = (year(ts) * 100 + month(ts)).cast("int")
@@ -452,6 +502,19 @@ final class CdcEngine(
           Option(r.getString(10)), Option(r.getString(11)))).toMap
       def total(i: Int): Long = summary.map(_.getLong(i)).sum
 
+      // strict-dim fail-fast: the reference RAISES OdsMetadataNotFound when
+      // a transfer's request month and its previous month both lack a dim
+      // snapshot (organisation_metadata_monthly.py:26-34). The summary job
+      // runs BEFORE any commit future launches, so this abort is
+      // side-effect-free — refresh the dim (applyDimUpdate) and retry the
+      // same epoch id.
+      if (strictDimMonths && total(7) > 0)
+        throw new IllegalStateException(
+          s"OdsMetadataNotFound: epoch $epoch has ${total(7)} transfer(s) whose " +
+            "request month AND previous month both lack a dim snapshot " +
+            s"(declared months: ${activeDimMonths.map(_.toSeq.sorted.mkString(",")).getOrElse("")}) — " +
+            "strictDimMonths aborted the epoch before any table committed")
+
       val lineage = Map(
         "epoch" -> epoch,
         "batchRows" -> batchRows,
@@ -476,7 +539,7 @@ final class CdcEngine(
         "danglingAcks" -> total(3), "unknownPurpose" -> total(4),
         "negativeSla" -> total(5), "duplicatesDropped" -> total(6)) ++
         // only when the caller declared its dim coverage (see dimMonths)
-        dimMonths.map(_ => "missingDimMonthTransfers" -> total(7))
+        activeDimMonths.map(_ => "missingDimMonthTransfers" -> total(7))
       // the shared summary assumed both tables bucket identically (they do
       // unless someone rebuckets one table out-of-band) — fall back to the
       // in-commit count if not
@@ -518,7 +581,7 @@ final class CdcEngine(
           // transfers commit, so its precomputed stats apply when the
           // bucketing matches
           val sameB = tbl.currentNumBuckets == state.currentNumBuckets
-          tbl.mergeDelta(Enrichment.enrich(upserts, dim.get), epoch,
+          tbl.mergeDelta(Enrichment.enrich(upserts, activeDim.get), epoch,
             metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
             precomputedStats = if (sameB) Some(transferStats) else None,
             compactInline = inlineCompaction)
@@ -546,6 +609,91 @@ final class CdcEngine(
     val heads = Seq(Some(transfers), Some(state), enriched).flatten
       .map(_.latestManifest())
     if (heads.exists(_.isEmpty)) None else Some(heads.flatten.map(_.epoch).min)
+  }
+
+  /** Apply a dimension-snapshot delta (new or changed (asid, yearMonth)
+    * rows, `Enrichment.OrgDimRow` shape) as its own commit epoch:
+    *
+    *  1. the delta is folded into the active dim (last-writer-wins on
+    *     (asid, yearMonth)), so every SUBSEQUENT `applyEpoch` enriches with
+    *     the refreshed metadata — the reference's per-run metadata reload
+    *     (`transfer_classifier.py:171-193`) made incremental;
+    *  2. ALREADY-COMMITTED enriched rows the delta can affect are
+    *     re-enriched and merge-upserted — and only those: a snapshot at
+    *     month m can change the as-of resolution only of transfers
+    *     requested in m or m+1 (the ONE-month fallback window) whose
+    *     requesting or sending asid is in the delta, so the transfers
+    *     snapshot is filtered to that (asid set × month set) superset
+    *     before any re-enrichment. The filter pushes to the parquet scan
+    *     (In predicates on two columns); the merge writes O(affected).
+    *
+    * The commit lands on the ENRICHED manifest chain only, with kind
+    * "dim-update" — its epoch id shares the per-table number space, so it
+    * must be disjoint from ingest ids (an ingest epoch reusing it aborts in
+    * applyEpoch's pre-flight, and vice versa via committedAs). Re-running an
+    * already-committed dim-update epoch re-applies step 1 (the active dim is
+    * process state, not durable — a restarted engine replays its dim-update
+    * feed) and skips the write, so replay from any checkpoint converges to
+    * identical table state.
+    *
+    * Returns the number of re-enriched rows.
+    */
+  def applyDimUpdate(spark: SparkSession, dimDelta: DataFrame, epoch: Long): Long = {
+    val tbl = enriched.getOrElse(throw new IllegalStateException(
+      "engine was built without a dim — no enriched table to re-enrich"))
+    import spark.implicits._
+    val base = activeDim.get
+    val delta = dimDelta.select(base.columns.map(col).toIndexedSeq: _*)
+    activeDim = Some(base
+      .join(delta.select("asid", "yearMonth").distinct(), Seq("asid", "yearMonth"), "left_anti")
+      .unionByName(delta))
+    // the delta's months now HAVE snapshots — extend the strict/lineage
+    // coverage declaration so a strictDimMonths abort heals by refreshing
+    // the dim and retrying the same ingest epoch id
+    val yms = delta.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
+    activeDimMonths = activeDimMonths.map(_ ++ yms)
+
+    // idempotent replay: the write is skip-if-present (with a loud kind
+    // check); the active-dim fold above already happened
+    tbl.manifestAt(epoch) match {
+      case Some(m) =>
+        require(m.kind == "dim-update",
+          s"epoch $epoch of enriched is already a '${m.kind}' commit — " +
+            "dim-update epoch ids must be disjoint from ingest/maintenance ids")
+        return m.lineage.getOrElse("reEnriched", 0L)
+      case None => ()
+    }
+
+    // the dim is broadcast-small by contract, so its delta's key sets are
+    // bounded driver-side collects
+    val asids = delta.select("asid").distinct().as[String].collect().toSet
+    if (asids.isEmpty) return 0L
+    val affectedMonths = yms.flatMap(ym =>
+      Set(ym, if (ym % 100 == 12) ym + 89 else ym + 1)) // m and m+1 (fallback reach)
+
+    val t = transfers.snapshot(spark)
+    if (t.columns.isEmpty) return 0L
+    val ymCol = (year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
+      month(timestamp_micros(col("dateRequestedMicros")))).cast("int")
+    // superset filter is safe: re-enriching a row whose resolution did NOT
+    // change rewrites an identical version — correctness unaffected
+    val affected = t.filter(
+      (col("requestingPracticeAsid").isin(asids.toSeq: _*) ||
+        col("sendingPracticeAsid").isin(asids.toSeq: _*)) &&
+        ymCol.isin(affectedMonths.toSeq: _*))
+      .cache() // shared by the count and the merge write
+    try {
+      val n = affected.count()
+      // nothing affected ⇒ no commit: the manifest chain only carries real
+      // writes, and a replayed no-op re-derives the same empty set
+      if (n > 0)
+        tbl.mergeDelta(Enrichment.enrich(affected, activeDim.get), epoch,
+          metadata = Map("dim-update-asids" -> asids.size.toString,
+            "dim-update-months" -> yms.toSeq.sorted.mkString(",")),
+          lineage = Map("reEnriched" -> n),
+          kind = "dim-update")
+      n
+    } finally affected.unpersist()
   }
 
   /** Grow both tables' bucket counts (one epoch number each, state first) —

@@ -55,18 +55,23 @@ object Export {
     }
     val days = newDays.union(movedFrom).distinct().as[String].collect().toSeq.sorted
     if (days.isEmpty) return Seq.empty
+    // cached: the merge-on-read snapshot resolution (delta fold) is paid
+    // once, shared by the write action and the written-days collect below
     val current = withDay(table.snapshot(spark, asOf))
       .filter(col("date_requested_day").isin(days: _*))
-    current
-      .repartition(col("date_requested_day"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("date_requested_day")
-      .parquet(outDir)
-    // dynamic overwrite only replaces partitions PRESENT in the written
-    // data — a day whose rows all moved away is written as nothing and its
-    // stale directory would survive; remove those explicitly
-    val nonEmpty = current.select("date_requested_day").distinct().as[String].collect().toSet
+      .cache()
+    val nonEmpty = try {
+      current
+        .repartition(col("date_requested_day"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date_requested_day")
+        .parquet(outDir)
+      // dynamic overwrite only replaces partitions PRESENT in the written
+      // data — a day whose rows all moved away is written as nothing and its
+      // stale directory would survive; remove those explicitly
+      current.select("date_requested_day").distinct().as[String].collect().toSet
+    } finally current.unpersist()
     days.filterNot(nonEmpty).foreach { d =>
       val dir = java.nio.file.Paths.get(outDir, s"date_requested_day=$d")
       if (java.nio.file.Files.isDirectory(dir)) {

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * scoring (Q×N evaluations) and the exact verification of LSH candidate
   * pairs.
   *
+  * "Bit-compatible" above holds for non-degenerate inputs (at least one
+  * non-zero element on each side, no NaN elements) — the domain every
+  * similarity operator here feeds it. Outside that domain:
+  *
   * Known divergence from the HOF formulation: a genuinely-computed NaN —
   * an all-zero (or empty) vector gives 0/0 — maps to SQL null here (NaN is
   * this expression's null sentinel) while the HOF chain emits NaN. Filters

@@ -19,6 +19,10 @@ import java.time.LocalDate
   *   GRAFT_INPUT                        change-log CSV dir(s), comma-separated
   *   GRAFT_OUTPUT                       daily parquet export dir
   *   GRAFT_DIM_PATH                     optional org-dimension parquet
+  *   GRAFT_STRICT_ODS=true              raise (reference OdsMetadataNotFound
+  *                                      behaviour) when a window month and
+  *                                      its previous month both lack a dim
+  *                                      snapshot, instead of null-padding
   *   GRAFT_CLASSIFY_MI=true             run the MI branch instead
   *   GRAFT_MI_INPUT / GRAFT_MI_OUTPUT   MI JSON events dir → parquet dir
   */
@@ -27,6 +31,7 @@ final case class PipelineConfig(
     inputPaths: Seq[String],
     outputDir: String,
     dimPath: Option[String],
+    strictOds: Boolean,
     classifyMi: Boolean,
     miInput: Option[String],
     miOutput: Option[String],
@@ -54,6 +59,7 @@ object PipelineConfig {
         else required("GRAFT_INPUT").split(',').toSeq.map(_.trim).filter(_.nonEmpty),
       outputDir = if (classifyMi) "" else required("GRAFT_OUTPUT"),
       dimPath = env.get("GRAFT_DIM_PATH"),
+      strictOds = env.get("GRAFT_STRICT_ODS").contains("true"),
       classifyMi = classifyMi,
       miInput = env.get("GRAFT_MI_INPUT"),
       miOutput = env.get("GRAFT_MI_OUTPUT"),
@@ -75,8 +81,13 @@ object TransferPipelineJob {
         val dim = spark.read.parquet(p)
         // the reference RAISES when a window month and its previous month
         // both lack a dim snapshot (organisation_metadata_monthly.py:26-34);
-        // surface the same condition loudly before null-padding
+        // GRAFT_STRICT_ODS reproduces the raise, the default surfaces the
+        // condition loudly and null-pads
         val missing = Enrichment.missingDimMonths(dim, w.months)
+        if (missing.nonEmpty && cfg.strictOds)
+          throw new IllegalStateException(
+            s"OdsMetadataNotFound: months ${missing.mkString(",")} have no dim " +
+              "snapshot in {month, previous month} (GRAFT_STRICT_ODS=true)")
         if (missing.nonEmpty)
           println(s"[graft] MISSING_ODS_METADATA months=${missing.mkString(",")} " +
             "— affected transfers will be null-padded")

@@ -501,18 +501,34 @@ final class LakeTable(
       case None => upsertSchema
       case Some(p) =>
         val old = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-        old.fields.foreach { f =>
-          upsertSchema.fields.find(_.name == f.name).foreach { u =>
-            require(u.dataType == f.dataType ||
-                org.apache.spark.sql.catalyst.expressions.Cast
-                  .canUpCast(u.dataType, f.dataType),
-              s"column '${f.name}': upsert type ${u.dataType.simpleString} cannot " +
-                s"evolve table type ${f.dataType.simpleString} — stored column " +
-                "types are fixed; only upcast-compatible upserts are accepted")
+        val widened = old.fields.map { f =>
+          upsertSchema.fields.find(_.name == f.name) match {
+            case Some(u)
+                // same structural type, different nullability flags: Spark's
+                // file sources force READ-BACK schemas fully nullable
+                // (asNullable in planning), so a read-rewrite upsert (dim
+                // re-enrichment, future row-level maintenance) legitimately
+                // claims more nullability than storage. Widening the stored
+                // type is safe — every existing file reads correctly under
+                // the more-nullable schema — while narrowing never happens.
+                if u.dataType != f.dataType &&
+                  org.apache.spark.sql.graftbridge.GraftBridge
+                    .sameTypeIgnoreNullability(u.dataType, f.dataType) =>
+              f.copy(dataType = org.apache.spark.sql.graftbridge.GraftBridge
+                .asNullable(f.dataType))
+            case Some(u) =>
+              require(u.dataType == f.dataType ||
+                  org.apache.spark.sql.catalyst.expressions.Cast
+                    .canUpCast(u.dataType, f.dataType),
+                s"column '${f.name}': upsert type ${u.dataType.simpleString} cannot " +
+                  s"evolve table type ${f.dataType.simpleString} — stored column " +
+                  "types are fixed; only upcast-compatible upserts are accepted")
+              f
+            case None => f
           }
         }
         val extra = upsertSchema.fields.filter(f => !old.fieldNames.contains(f.name))
-        StructType(old.fields ++ extra.map(f => StructField(f.name, f.dataType, nullable = true)))
+        StructType(widened ++ extra.map(f => StructField(f.name, f.dataType, nullable = true)))
     }
     val schemaId = parent match {
       case Some(p) if p.schemaJson == mergedSchema.json => p.schemaId
@@ -559,9 +575,15 @@ final class LakeTable(
                    * `compact()` as its own maintenance epochs so ingest
                    * commit latency stays flat.
                    */
-                 compactInline: Boolean = true): Manifest = {
+                 compactInline: Boolean = true,
+                 /** Manifest kind of this commit. Non-"write" callers (e.g.
+                   * the engine's dim-update re-enrichment) stamp their own
+                   * kind so an ingest epoch colliding with their id fails
+                   * loudly instead of silently skipping (see committedAs).
+                   */
+                 kind: String = "write"): Manifest = {
     if (Files.exists(manifestPath(epoch)))
-      return committedAs(epoch, "write")
+      return committedAs(epoch, kind)
 
     val spark = upserts.sparkSession
     val parent = latestManifest()
@@ -609,6 +631,7 @@ final class LakeTable(
       // totalRows is PHYSICAL rows for a merge-on-read table (superseded
       // versions included until compaction)
       lineage = lineage ++ Map("totalRows" -> files.map(_.rows).sum),
+      kind = kind,
     )
     writeManifestAtomically(manifest)
     manifest

@@ -11,4 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Structural type equality ignoring nullable/containsNull/valueContainsNull
+    * flags — Spark's file sources force read-back schemas fully nullable
+    * (`asNullable` in planning), so a read-rewrite path comparing against a
+    * stored schema needs this, not `==`.
+    */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+                                b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+
+  /** Fully-nullable rendering of a type (every nested field/element/value
+    * nullable) — what Spark's own file-source planning does to read schemas.
+    */
+  def asNullable(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt.asNullable
 }

@@ -67,6 +67,7 @@ class PlanSpec extends SparkSpec {
     val events = graft.cdc.ChangeLogGen.generate(spark, cfg)
     // exchanges are inserted by EnsureRequirements and AQE hides them until
     // execution — build this one plan with AQE off to inspect the exchange
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val exchange = graft.cdc.CdcPipeline.classify(events, 0L)
@@ -77,7 +78,7 @@ class PlanSpec extends SparkSpec {
       assert(!carried.exists(Set("path", "lang", "op")),
         s"classify shuffle must not carry unused event columns: $carried")
       assert(carried.exists(_.startsWith("content")), s"sanity: $carried")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
   test("mi01: the ordered group-by reuses ONE shuffle for window + aggregate") {
