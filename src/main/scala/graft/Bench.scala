@@ -31,16 +31,22 @@ object Bench {
     val n = log.count() // materialize generation outside the timed region
     val classifySec = timed(CdcPipeline.classify(log, 14 * day).write
       .mode("overwrite").format("noop").save())
+    // SPARK_GRAFT_PIPELINE=0 forces the sequential per-epoch loop (A/B
+    // control); the default drives the engine's pipelined batch path
+    val pipelined = !sys.env.get("SPARK_GRAFT_PIPELINE").contains("0")
+    def applyAll(eng: CdcEngine): Unit =
+      if (pipelined)
+        eng.applyEpochs(spark,
+          (0L until cfg.epochs.toLong).map(e => e -> log.filter(_.epoch == e)))
+      else
+        (0L until cfg.epochs.toLong).foreach(e =>
+          eng.applyEpoch(spark, log.filter(_.epoch == e), e))
     val wh1 = java.nio.file.Files.createTempDirectory("bench-cdc").toString
     val eng = new CdcEngine(wh1, numBuckets = 32, cutoffMicros = 14 * day)
-    val applySec = timed(
-      (0L until cfg.epochs.toLong).foreach(e =>
-        eng.applyEpoch(spark, log.filter(_.epoch == e), e)))
+    val applySec = timed(applyAll(eng))
     val wh2 = java.nio.file.Files.createTempDirectory("bench-replay").toString
     val eng2 = new CdcEngine(wh2, numBuckets = 32, cutoffMicros = 14 * day)
-    val replaySec = timed(
-      (0L until cfg.epochs.toLong).foreach(e =>
-        eng2.applyEpoch(spark, log.filter(_.epoch == e), e)))
+    val replaySec = timed(applyAll(eng2))
     log.unpersist()
     (n, classifySec, applySec, replaySec)
   }

@@ -56,11 +56,28 @@ object ScalingBench {
       val classifySec = Bench.timed(CdcPipeline.classify(log, 14 * day).write
         .mode("overwrite").format("noop").save())
       val applySec = if (sys.env.get("SPARK_GRAFT_APPLY").contains("0")) -1.0 else {
-        val wh = java.nio.file.Files.createTempDirectory(s"scale-$cpus").toString
-        val eng = new CdcEngine(wh, numBuckets = 32, cutoffMicros = 14 * day)
-        Bench.timed(
-          (0L until cfg.epochs.toLong).foreach(e =>
-            eng.applyEpoch(spark, log.filter(_.epoch == e), e)))
+        // SPARK_GRAFT_WH_BASE redirects the warehouse (e.g. to /dev/shm for
+        // the tmpfs A/B that separates plan-scaling from the sandbox's one
+        // shared disk — BENCH/BASELINE.md §2)
+        val wh = sys.env.get("SPARK_GRAFT_WH_BASE") match {
+          case Some(base) => java.nio.file.Files
+            .createTempDirectory(java.nio.file.Paths.get(base), s"scale-$cpus")
+          case None => java.nio.file.Files.createTempDirectory(s"scale-$cpus")
+        }
+        val eng = new CdcEngine(wh.toString, numBuckets = 32, cutoffMicros = 14 * day)
+        // pipelined epochs by default; SPARK_GRAFT_PIPELINE=0 = sequential A/B
+        val sec = Bench.timed(
+          if (sys.env.get("SPARK_GRAFT_PIPELINE").contains("0"))
+            (0L until cfg.epochs.toLong).foreach(e =>
+              eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+          else
+            eng.applyEpochs(spark,
+              (0L until cfg.epochs.toLong).map(e => e -> log.filter(_.epoch == e))))
+        val walk = java.nio.file.Files.walk(wh)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+        sec
       }
       log.unpersist()
       spark.stop()

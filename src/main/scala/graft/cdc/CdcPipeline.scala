@@ -328,20 +328,36 @@ final class CdcEngine(
     * bucket-mate sessions untouched by the batch are neither re-read,
     * re-classified, nor re-written.
     */
-  def applyEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
-    import spark.implicits._
-
-    // Exactly-once fast path: an epoch BOTH tables already committed is
-    // skipped without paying the fold — a checkpoint restart (foreachBatch
-    // redelivers the batch in flight at the crash; batch drivers re-run
-    // whole epoch ranges, see `committedThrough`) costs one manifest stat
-    // per replayed epoch, not a Spark job. A half-committed epoch (crash
-    // between the two concurrent commits) falls through: the deterministic
-    // fold re-runs and the skip-if-present commits heal the lagging side.
-    // CONTRACT: the epoch id must determine the batch content (streaming
-    // checkpoints own their batchId numbering — see StreamingIngest), and
-    // maintenance/rebucket epochs share this number space, so ingest and
-    // maintenance ids must be disjoint.
+  /** Exactly-once fast path + collision pre-flight, shared by `applyEpoch`
+    * and `applyEpochs`.
+    *
+    * Fast path: an epoch ALL tables already committed is skipped without
+    * paying the fold — a checkpoint restart (foreachBatch redelivers the
+    * batch in flight at the crash; batch drivers re-run whole epoch ranges,
+    * see `committedThrough`) costs one manifest stat per replayed epoch,
+    * not a Spark job. Returns Some(transfers manifest) for the skip. A
+    * half-committed epoch (crash between the concurrent commits) returns
+    * None: the deterministic fold re-runs and the skip-if-present commits
+    * heal the lagging side.
+    *
+    * Pre-flight: the epoch id is validated against EVERY table's manifest
+    * chain BEFORE any commit future launches. Without this, a maintenance
+    * commit squatting on `epoch` in (say) the transfers chain only throws
+    * inside its own commit future — AFTER the concurrent state appendNew
+    * may have durably committed the batch's events under the contested id.
+    * A retry under a corrected (different) id then re-stamps the batch,
+    * dedup resolves every commit to the already-durable earlier-epoch copy,
+    * `fresh` comes back empty, and the sessions' transfer rows are silently
+    * never written. Aborting here — before the fold, before either sink —
+    * keeps the failed epoch side-effect-free, so the caller may retry under
+    * the SAME or a new id.
+    *
+    * CONTRACT: the epoch id must determine the batch content (streaming
+    * checkpoints own their batchId numbering — see StreamingIngest), and
+    * maintenance/rebucket/dim-update epochs share this number space, so
+    * ingest and maintenance ids must be disjoint.
+    */
+  private def preflight(epoch: Long): Option[Manifest] = {
     (transfers.manifestAt(epoch), state.manifestAt(epoch),
         enriched.map(_.manifestAt(epoch))) match {
       case (Some(t), Some(st), e) if e.forall(_.isDefined) =>
@@ -349,21 +365,9 @@ final class CdcEngine(
         require(kinds.forall(_ == "write"),
           s"epoch $epoch already used by a '${kinds.find(_ != "write").get}' " +
             "maintenance commit — ingest and maintenance epoch ids must be disjoint")
-        return t
+        return Some(t)
       case _ => ()
     }
-
-    // Collision pre-flight for the HALF-committed fall-through: validate the
-    // epoch id against EVERY table's manifest chain BEFORE any commit future
-    // launches. Without this, a maintenance commit squatting on `epoch` in
-    // (say) the transfers chain only throws inside its own commit future —
-    // AFTER the concurrent state appendNew may have durably committed the
-    // batch's events under the contested id. A retry under a corrected
-    // (different) id then re-stamps the batch, dedup resolves every commit
-    // to the already-durable earlier-epoch copy, `fresh` comes back empty,
-    // and the sessions' transfer rows are silently never written. Aborting
-    // here — before the fold, before either sink — keeps the failed epoch
-    // side-effect-free, so the caller may retry under the SAME or a new id.
     (Seq(transfers -> "transfers", state -> "state") ++
         enriched.map(_ -> "enriched")).foreach { case (tbl, name) =>
       tbl.manifestAt(epoch).foreach { m =>
@@ -373,7 +377,126 @@ final class CdcEngine(
             "any table commits)")
       }
     }
+    None
+  }
 
+  def applyEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent], epoch: Long): Manifest = {
+    preflight(epoch) match {
+      case Some(t) => return t
+      case None    => ()
+    }
+    val f = foldEpoch(spark, rawEvents, epoch, stateAsOf = Long.MaxValue,
+      pendingFresh = None)
+    try commitEpoch(spark, f)
+    finally {
+      f.out.unpersist()
+      spark.sparkContext.setJobDescription(null) // don't leak the tag to caller jobs
+    }
+  }
+
+  /** Apply a strictly-increasing sequence of (epoch, batch) pairs with
+    * DEPTH-1 PIPELINING: while epoch e's commits (parquet + manifest I/O)
+    * run in the background, epoch e+1's fold (batch stats, prior-state
+    * assembly, the sessionize/classify shuffle, the epoch summary) is
+    * already computing on the driver thread — per-epoch wall-clock
+    * approaches max(fold, commits) instead of fold + commits, which is the
+    * fixed-cost term that erodes N→4N scaling at small per-epoch batches.
+    *
+    * Semantics are identical to calling `applyEpoch` in order:
+    *  - epoch e+1's prior state is snapshot(head before e's commit) ∪ e's
+    *    cached fold output — by construction exactly the row set e's
+    *    `appendNew` is making durable (see `foldEpoch`); the fold input,
+    *    and therefore every output row, matches the sequential run;
+    *  - e's commits are AWAITED before e+1's commits launch, so each
+    *    manifest chain stays gap-free and parent-ordered; a crash leaves at
+    *    most one epoch half-committed — the same healing story, asserted by
+    *    the same replay-identity tests;
+    *  - already-committed epochs skip via the same fast path (the pipeline
+    *    flushes first), so resume drivers can hand the full epoch range.
+    *
+    * Returns the last applied/skipped transfers manifest.
+    */
+  def applyEpochs(spark: SparkSession,
+                  batches: Seq[(Long, Dataset[ChangeEvent])]): Option[Manifest] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    require(batches.map(_._1) == batches.map(_._1).sorted.distinct,
+      "applyEpochs requires strictly increasing epoch ids")
+    var last: Option[Manifest] = None
+    var inFlight: Option[(FoldResult, Future[Manifest])] = None
+    var headBefore = -1L // state head BEFORE the in-flight commit
+    def flush(): Unit = inFlight.foreach { case (pf, fut) =>
+      try last = Some(Await.result(fut, Duration.Inf))
+      finally { pf.out.unpersist(); inFlight = None }
+    }
+    try {
+      batches.foreach { case (epoch, batch) =>
+        preflight(epoch) match {
+          case Some(t) => flush(); last = Some(t)
+          case None =>
+            val (asOf, pending) = inFlight match {
+              case Some((pf, _)) => (headBefore, Some(pf))
+              case None          => (Long.MaxValue, None)
+            }
+            // overlaps with the in-flight commit — the whole point
+            val f = foldEpoch(spark, batch, epoch, stateAsOf = asOf,
+              pendingFresh = pending)
+            flush() // previous commits become durable before ours launch
+            headBefore = state.latestManifest().map(_.epoch).getOrElse(-1L)
+            inFlight = Some((f, Future { commitEpoch(spark, f) }))
+        }
+      }
+      flush()
+      last
+    } finally {
+      // error path: never leave a commit future dangling or a cache pinned
+      inFlight.foreach { case (pf, fut) =>
+        try Await.result(fut, Duration.Inf)
+        catch { case _: Throwable => () }
+        pf.out.unpersist()
+      }
+      spark.sparkContext.setJobDescription(null)
+    }
+  }
+
+  /** Everything a committed epoch needs, computed by `foldEpoch` BEFORE any
+    * sink is touched: the cached fold output, the per-sink frames, the
+    * shared summary stats and the manifest metadata/lineage. Splitting the
+    * epoch at this seam (compute | commit I/O) is what lets `applyEpochs`
+    * overlap epoch e's commits with epoch e+1's fold.
+    */
+  private final case class FoldResult(
+      epoch: Long,
+      out: Dataset[CdcPipeline.ApplyOut],
+      upserts: DataFrame,
+      freshEvents: DataFrame,
+      touched: Set[Int],
+      eventStats: Map[Int, graft.lake.BucketStats],
+      transferStats: Map[Int, graft.lake.BucketStats],
+      meta: Map[String, String],
+      lineage: Map[String, Long],
+      tLineage: Map[String, Long],
+  )
+
+  /** The epoch's COMPUTE phase: batch stats, prior-state assembly, the fused
+    * sessionize/classify fold (cached + materialized by the summary job),
+    * and the shared epoch summary. No table is written.
+    *
+    * `stateAsOf` + `pendingFresh` exist for the pipelined driver: when the
+    * PREVIOUS epoch's commits are still in flight, its manifest is not yet
+    * readable, but its fold output is — so prior state is assembled as
+    * snapshot(asOf = head before the in-flight commit) ∪ pending fresh
+    * events, which is by construction exactly the row set the in-flight
+    * `appendNew` is making durable (assumeNew appends precisely
+    * `freshEvents`; data files are immutable and never deleted, so the
+    * as-of read cannot race the concurrent commit). Non-pipelined callers
+    * pass (Long.MaxValue, None) — read the latest durable snapshot.
+    */
+  private def foldEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent],
+                        epoch: Long, stateAsOf: Long,
+                        pendingFresh: Option[FoldResult]): FoldResult = {
+    import spark.implicits._
     // Re-stamp the batch with THIS epoch. Freshness (which events the fold
     // persists to the durable state table) must mean "first applied in this
     // epoch", not "stamped with this epoch by the source": a streaming
@@ -404,7 +527,18 @@ final class CdcEngine(
     val batchRows = stats.getLong(0)
     val touched = stats.getSeq[Int](3).toSet
 
-    val priorState = state.snapshot(spark, buckets = Some(touched))
+    val priorSnapshot = state.snapshot(spark, asOf = stateAsOf, buckets = Some(touched))
+    // pending (not-yet-durable) fresh events from the in-flight previous
+    // epoch, pruned to this batch's buckets like the snapshot read
+    val pendingPart = pendingFresh
+      .filter(p => p.touched.exists(touched)) // skip when bucket-disjoint
+      .map(_.freshEvents.where(state.bucketCol.isin(touched.toSeq: _*)))
+    val priorCols =
+      Seq("repo", "commit", "content", "offset", "tsMicros", "epoch").map(col)
+    val priorRaw: Option[DataFrame] =
+      ((if (priorSnapshot.columns.isEmpty) None else Some(priorSnapshot)).toSeq ++
+        pendingPart.toSeq).map(_.select(priorCols: _*))
+        .reduceOption(_.unionByName(_))
     // Semi-join gate: manifest row counts (free — no Spark job) tell how
     // much prior state the touched buckets hold. When prior dwarfs the batch
     // (steady incremental state at scale), a semi-join on the batch's repos
@@ -412,17 +546,19 @@ final class CdcEngine(
     // in this batch re-classify; AQE broadcasts the distinct batch keys when
     // small. When prior ≈ batch (bulk loads, backfills), the extra distinct
     // + join shuffles cost more than they save — fold everything.
-    val priorTouchedRows = state.latestManifest()
+    val priorTouchedRows = state.manifestAsOf(stateAsOf)
       .map(_.files.filter(f => touched.contains(f.bucket)).map(_.rows).sum)
-      .getOrElse(0L)
+      .getOrElse(0L) +
+      pendingFresh.map(_.eventStats.collect {
+        case (b, s) if touched(b) => s.rows }.sum).getOrElse(0L)
     val semiJoinWins = priorTouchedRows > 4L * math.max(batchRows, 1L)
-    val priorEvents =
-      if (priorState.columns.isEmpty) spark.emptyDataset[ChangeEvent]
-      else {
+    val priorEvents = priorRaw match {
+      case None => spark.emptyDataset[ChangeEvent]
+      case Some(raw0) =>
         val pruned =
           if (semiJoinWins)
-            priorState.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
-          else priorState
+            raw0.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
+          else raw0
         // Prior-state events are folded but never RE-persisted (only
         // fresh, current-epoch events reach the state sink), and the fold
         // reads only content + the envelope — so path/lang/op are null
@@ -436,7 +572,7 @@ final class CdcEngine(
           lit(null).cast("string").as("lang"), col("content"),
           col("offset"), lit(null).cast("string").as("op"),
           col("tsMicros"), col("epoch")).as[ChangeEvent]
-      }
+    }
 
     // locals only in the closure — capturing the fields would serialize the
     // whole (non-serializable) engine
@@ -545,56 +681,70 @@ final class CdcEngine(
       // in-commit count if not
       val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
 
-      // the two commits are independent (separate manifest chains, both
-      // consuming the CACHED fold output), so they run CONCURRENTLY —
-      // per-epoch latency is max(commit) instead of sum(commit), which at
-      // small batches is dominated by write fixed costs. Crash/failure of
-      // either side leaves at most one table committed; re-running the
-      // epoch heals it in either order: each commit is skip-if-present and
-      // the fold is deterministic, so the lagging side recomputes
-      // identically (asserted both ways in CdcEngineSpec).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val stateF = Future {
-        desc("state commit (appendNew)")
-        // assumeNew: the fold already guarantees first-seen-only events
-        state.appendNew(freshEvents, epoch, metadata = meta, lineage = lineage,
-          touchedBuckets = Some(touched), assumeNew = true,
-          precomputedStats = Some(eventStats), compactInline = inlineCompaction)
-      }
-      val transfersF = Future {
-        desc("transfers commit (mergeDelta)")
-        if (morTransfers)
-          transfers.mergeDelta(upserts, epoch,
-            metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
-            precomputedStats = if (sameBucketing) Some(transferStats) else None,
-            compactInline = inlineCompaction)
-        else
-          transfers.merge(upserts, epoch,
-            metadata = meta, lineage = tLineage, touchedBuckets = Some(touched))
-      }
-      val enrichedF = enriched.map { tbl =>
-        Future {
-          desc("enriched commit (mergeDelta)")
-          // enrich ONLY the epoch's upserts (O(batch); two broadcast joins,
-          // no shuffle of the upsert side) — same rows per bucket as the
-          // transfers commit, so its precomputed stats apply when the
-          // bucketing matches
-          val sameB = tbl.currentNumBuckets == state.currentNumBuckets
-          tbl.mergeDelta(Enrichment.enrich(upserts, activeDim.get), epoch,
-            metadata = meta, lineage = tLineage, touchedBuckets = Some(touched),
-            precomputedStats = if (sameB) Some(transferStats) else None,
-            compactInline = inlineCompaction)
-        }
-      }
-      Await.result(stateF, scala.concurrent.duration.Duration.Inf)
-      val tManifest = Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
-      enrichedF.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
-      tManifest
-    } finally {
-      out.unpersist()
-      spark.sparkContext.setJobDescription(null) // don't leak the tag to caller jobs
+      FoldResult(epoch, out, upserts, freshEvents, touched, eventStats,
+        transferStats, meta, lineage, tLineage)
+    } catch {
+      case t: Throwable =>
+        out.unpersist()
+        throw t
     }
+  }
+
+  /** The epoch's COMMIT phase: the two-to-three table commits, launched
+    * concurrently (separate manifest chains, all consuming the CACHED fold
+    * output) and awaited — per-epoch latency is max(commit), not
+    * sum(commit), which at small batches is dominated by write fixed costs.
+    * Crash/failure of either side leaves at most one table committed;
+    * re-running the epoch heals it in either order: each commit is
+    * skip-if-present and the fold is deterministic, so the lagging side
+    * recomputes identically (asserted both ways in CdcEngineSpec).
+    */
+  private def commitEpoch(spark: SparkSession, f: FoldResult): Manifest = {
+    val epoch = f.epoch
+    def desc(d: String): Unit =
+      spark.sparkContext.setJobDescription(s"cdc epoch $epoch: $d")
+    // the shared summary assumed both tables bucket identically (they do
+    // unless someone rebuckets one table out-of-band) — fall back to the
+    // in-commit count if not
+    val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stateF = Future {
+      desc("state commit (appendNew)")
+      // assumeNew: the fold already guarantees first-seen-only events
+      state.appendNew(f.freshEvents, epoch, metadata = f.meta, lineage = f.lineage,
+        touchedBuckets = Some(f.touched), assumeNew = true,
+        precomputedStats = Some(f.eventStats), compactInline = inlineCompaction)
+    }
+    val transfersF = Future {
+      desc("transfers commit (mergeDelta)")
+      if (morTransfers)
+        transfers.mergeDelta(f.upserts, epoch,
+          metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched),
+          precomputedStats = if (sameBucketing) Some(f.transferStats) else None,
+          compactInline = inlineCompaction)
+      else
+        transfers.merge(f.upserts, epoch,
+          metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched))
+    }
+    val enrichedF = enriched.map { tbl =>
+      Future {
+        desc("enriched commit (mergeDelta)")
+        // enrich ONLY the epoch's upserts (O(batch); two broadcast joins,
+        // no shuffle of the upsert side) — same rows per bucket as the
+        // transfers commit, so its precomputed stats apply when the
+        // bucketing matches
+        val sameB = tbl.currentNumBuckets == state.currentNumBuckets
+        tbl.mergeDelta(Enrichment.enrich(f.upserts, activeDim.get), epoch,
+          metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched),
+          precomputedStats = if (sameB) Some(f.transferStats) else None,
+          compactInline = inlineCompaction)
+      }
+    }
+    Await.result(stateF, scala.concurrent.duration.Duration.Inf)
+    val tManifest = Await.result(transfersF, scala.concurrent.duration.Duration.Inf)
+    enrichedF.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    tManifest
   }
 
   /** Resume point for a batch driver: the highest epoch BOTH tables have

@@ -202,8 +202,29 @@ final class LakeTable(
     * Hashes the FULL key so salted sub-partitions stay deterministic.
     */
   val saltFactor: Int = 4
-  private def saltCol: Column =
-    pmod(xxhash64((keyColumns.map(col) :+ lit("salt")): _*), lit(saltFactor)).cast("int")
+  private def saltCol: Column = saltColFor(saltFactor)
+  private def saltColFor(s: Int): Column =
+    if (s <= 1) lit(0)
+    else pmod(xxhash64((keyColumns.map(col) :+ lit("salt")): _*), lit(s)).cast("int")
+
+  /** Salt rows-per-task threshold: a bucket smaller than this fits one
+    * write task comfortably, so salting it only multiplies the file count
+    * and the per-file fixed costs (open/footer/compressor init) — the term
+    * that dominates small incremental epochs and erodes N→4N scaling.
+    */
+  private val saltRowsPerTask = 131072L
+
+  /** Adaptive salt: full `saltFactor` only when the caller's per-bucket
+    * stats show a bucket big enough to need spreading (or when no stats are
+    * known — compaction/bulk paths keep the conservative default).
+    */
+  private def effectiveSalt(maxBucketRows: Option[Long]): Int =
+    maxBucketRows match {
+      case Some(rows) =>
+        math.max(1L, math.min(saltFactor.toLong,
+          (rows + saltRowsPerTask - 1) / saltRowsPerTask)).toInt
+      case None => saltFactor
+    }
 
   /** File-level key-bounds check with Spark's own string comparator
     * (UTF8String binary order — what min/max on StringType produced):
@@ -600,9 +621,11 @@ final class LakeTable(
     val stats: Map[Int, BucketStats] =
       if (touched.isEmpty) Map.empty
       else {
+        val salt = effectiveSalt(precomputedStats.filter(_.nonEmpty)
+          .map(_.values.map(_.rows).max))
         withBucket
-          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * saltFactor,
-            col("__bucket"), saltCol)
+          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * salt,
+            col("__bucket"), saltColFor(salt))
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
@@ -696,9 +719,11 @@ final class LakeTable(
     val stats: Map[Int, BucketStats] =
       if (touched.isEmpty) Map.empty
       else {
+        val salt = effectiveSalt(precomputedStats.filter(_ => assumeNew)
+          .filter(_.nonEmpty).map(_.values.map(_.rows).max))
         fresh
-          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * saltFactor,
-            col("__bucket"), saltCol)
+          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * salt,
+            col("__bucket"), saltColFor(salt))
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")

@@ -1,0 +1,90 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.lake.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `CdcEngine.applyEpochs` (depth-1 epoch pipelining) must be
+  * OBSERVATIONALLY IDENTICAL to a sequential `applyEpoch` loop: same
+  * transfers/state/enriched table contents (sha-for-sha), same manifests'
+  * row stats, same resume/skip behaviour — the overlap is allowed to change
+  * wall-clock only.
+  */
+class PipelinedApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 24L * 3600 * 1000000L
+  private val cfg = GenConfig(numConversations = 200, hotConversations = 2,
+    hotFragments = 64, redeliveryPermille = 50, epochs = 4)
+  private lazy val log = ChangeLogGen.generate(spark, cfg).cache()
+  private def batches: Seq[(Long, org.apache.spark.sql.Dataset[ChangeEvent])] =
+    (0L to 3L).map(e => e -> log.filter(_.epoch == e))
+
+  private def shaMap(df: DataFrame): Map[String, String] =
+    df.select("repo", "row_sha256").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def stateMap(eng: CdcEngine): Map[(String, String), Long] =
+    LakeTable.readSnapshot(eng.state, spark)
+      .select("repo", "commit", "offset").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("pipelined applyEpochs equals the sequential applyEpoch loop, all tables") {
+    val dim = Enrichment.generateDim(spark, numAsids = 997,
+      yearMonths = Seq(201911, 201912))
+    val seqEng = new CdcEngine(tmpDir("pipe-seq"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(dim))
+    batches.foreach { case (e, b) => seqEng.applyEpoch(spark, b, e) }
+
+    val pipeEng = new CdcEngine(tmpDir("pipe-pipe"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(dim))
+    val lastM = pipeEng.applyEpochs(spark, batches)
+    assert(lastM.exists(_.epoch == 3L))
+    assert(pipeEng.committedThrough().contains(3L))
+
+    assert(shaMap(pipeEng.currentTransfers(spark)) ==
+      shaMap(seqEng.currentTransfers(spark)), "transfers must match sha-for-sha")
+    assert(stateMap(pipeEng) == stateMap(seqEng),
+      "state event buffer must keep identical first-seen offsets")
+    assert(shaMap(pipeEng.currentEnriched(spark)) ==
+      shaMap(seqEng.currentEnriched(spark)), "enriched must match sha-for-sha")
+
+    // manifests carry the same per-epoch batch lineage
+    (0L to 3L).foreach { e =>
+      val sm = seqEng.transfers.manifestAt(e).get
+      val pm = pipeEng.transfers.manifestAt(e).get
+      assert(pm.lineage("batchRows") == sm.lineage("batchRows"), s"epoch $e")
+      assert(pm.files.map(_.rows).sum == sm.files.map(_.rows).sum, s"epoch $e")
+    }
+  }
+
+  test("applyEpochs skips committed epochs and resumes mid-range") {
+    val eng = new CdcEngine(tmpDir("pipe-resume"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    // first two epochs land sequentially (an older driver run)
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    // the restarted pipelined driver replays the WHOLE range
+    eng.applyEpochs(spark, batches)
+    assert(eng.committedThrough().contains(3L))
+
+    val ref = new CdcEngine(tmpDir("pipe-resume-ref"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    batches.foreach { case (e, b) => ref.applyEpoch(spark, b, e) }
+    assert(shaMap(eng.currentTransfers(spark)) == shaMap(ref.currentTransfers(spark)))
+
+    // and a full second replay over the committed range is a pure no-op
+    val heads = (eng.transfers.latestManifest(), eng.state.latestManifest())
+    eng.applyEpochs(spark, batches)
+    assert((eng.transfers.latestManifest(), eng.state.latestManifest()) == heads)
+  }
+
+  test("applyEpochs rejects out-of-order epoch ids") {
+    val eng = new CdcEngine(tmpDir("pipe-order"), numBuckets = 4,
+      cutoffMicros = 14 * day)
+    intercept[IllegalArgumentException] {
+      eng.applyEpochs(spark, Seq(
+        1L -> log.filter(_.epoch == 1L), 0L -> log.filter(_.epoch == 0L)))
+    }
+  }
+}

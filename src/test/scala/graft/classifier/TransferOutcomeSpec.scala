@@ -216,6 +216,23 @@ class TransferOutcomeSpec extends AnyFunSuite {
     assert(TransferClassifier.classify(Vector.empty, 0L).isEmpty)
   }
 
+  test("integrated with copc fragments: last sender message is the core EHR, not a fragment") {
+    // test_derive_transfer.py:341-362 — for an integrated transfer the last
+    // sender message is the max SENDER message at-or-before the effective
+    // final acknowledgement; here the fragments all precede the core EHR
+    val t = derive(Scenarios.successfulIntegrationWithCopcFragments)
+    assert(t.status == TransferStatus.IntegratedOnTime)
+    assert(t.lastSenderMessageTimestampMicros.contains(Times.base + Times.hour))
+  }
+
+  test("duplicate core EHR re-sent AFTER integration is excluded from last sender message") {
+    // test_derive_transfer.py:440-466 — the third EHR copy arrives after the
+    // integration ack and must not advance last_sender_message_timestamp
+    val t = derive(Scenarios.ehrIntegratedWithDuplicateHavingSecondSenderAckAfterIntegration)
+    assert(t.status == TransferStatus.IntegratedOnTime)
+    assert(t.lastSenderMessageTimestampMicros.contains(Times.base + 4 * Times.hour))
+  }
+
   test("non-integrated: last sender message is max over all sender messages") {
     val t = derive(Scenarios.pendingIntegrationWithCopcFragments)
     // sender messages: sender-ack(t2), core-ehr(t3), fragments(t5,t6,t7)
