@@ -69,6 +69,39 @@ object CdcPipeline {
       }
   }
 
+  /** Variant of `classify` for redelivery-heavy / mega-session streams: the
+    * dedup-by-(repo, commit) step runs as a HASH AGGREGATE with map-side
+    * partial combine BEFORE the sessionize shuffle, so (a) redelivered
+    * copies collapse on the map side and never cross the wire, and (b) a
+    * pathological mega-session's dedup work spreads over the whole
+    * (repo, commit) hash space instead of landing on one straggler task
+    * (dedup-by-commit is associative — first-seen = min (offset, epoch) —
+    * which is what makes the partial combine legal). The sessionize fold
+    * (the sequential state machine) still receives each session whole; that
+    * second shuffle now carries deduped rows only. Two shuffles instead of
+    * one: wins when the duplicate ratio or per-session fan-in is high,
+    * loses on clean streams — `classify` stays the default path.
+    * Output is identical to `classify` except `duplicatesDropped` (dupes
+    * collapse before the fold can count them; the counter is excluded from
+    * row_sha256 for exactly this kind of batching dependence).
+    */
+  def classifyPreDedup(events: Dataset[ChangeEvent],
+                       cutoffMicros: Long): Dataset[TransferRecord] = {
+    import events.sparkSession.implicits._
+    val deduped = events.toDF()
+      .groupBy(col("repo"), col("commit"))
+      .agg(min_by(
+        struct(col("content"), col("offset"), col("tsMicros"), col("epoch")),
+        struct(col("offset"), col("epoch"))).as("e"))
+      .select(col("repo"), col("commit"), col("e.content").as("content"),
+        col("e.offset").as("offset"), col("e.tsMicros").as("tsMicros"),
+        col("e.epoch").as("epoch"))
+      .as[SlimEvent]
+    deduped.groupByKey(_.repo).flatMapGroups { (repo, it) =>
+      classifyGroup(repo, it, cutoffMicros).iterator
+    }
+  }
+
   /** Per-key fold, shared by the batch path above and the streaming
     * flatMapGroupsWithState path.
     */
