@@ -33,7 +33,20 @@ final case class FileEntry(
       */
     min0: Option[String] = None,
     max0: Option[String] = None,
+    /** Leaf parquet data files of this entry's directory, with exact byte
+      * sizes — recorded at commit time (ONE local listing of the
+      * just-written dir, O(new files)) so reads plan from the manifest
+      * alone: `ManifestFileIndex` hands Spark the exact (path, size) set and
+      * no listing/stat round-trips happen per query — on an object store at
+      * production scale, the per-query LIST calls are the metadata
+      * bottleneck this removes (the Iceberg/Delta planning shape). Empty on
+      * pre-r4 manifests → readers fall back to path listing.
+      */
+    leaves: Seq[LeafFile] = Seq.empty,
 )
+
+/** One leaf parquet file: name relative to its FileEntry dir + exact size. */
+final case class LeafFile(name: String, bytes: Long)
 
 /** Per-bucket write statistics: exact row count + first-key-column bounds. */
 final case class BucketStats(rows: Long, min0: Option[String], max0: Option[String])
@@ -159,7 +172,8 @@ final class LakeTable(
           .map { case (k, v) => k -> v.asInstanceOf[Number].longValue },
         files = m.files.map(f => f.copy(
           min0 = if (f.min0 == null) None else f.min0,
-          max0 = if (f.max0 == null) None else f.max0)),
+          max0 = if (f.max0 == null) None else f.max0,
+          leaves = if (f.leaves == null) Seq.empty else f.leaves)),
         kind = if (m.kind == null) "write" else m.kind))
     }
   }
@@ -262,12 +276,10 @@ final class LakeTable(
         val live = key0.fold(bucketLive)(v => bucketLive.filter(f => mayContain(f, v)))
         if (live.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else if (!mergeOnRead) spark.read.schema(schema)
-          .parquet(live.map(f => s"$root/${f.path}"): _*)
+        else if (!mergeOnRead) readEntries(spark, live, schema)
         else {
           val withEpoch = schema.add(StructField("__epoch", LongType, nullable = true))
-          def read(fs: Seq[FileEntry]): DataFrame =
-            spark.read.schema(withEpoch).parquet(fs.map(f => s"$root/${f.path}"): _*)
+          def read(fs: Seq[FileEntry]): DataFrame = readEntries(spark, fs, withEpoch)
           val byBucket = live.groupBy(_.bucket).values.toSeq
           val single = byBucket.filter(_.size == 1).flatten
           val multi = byBucket.filter(_.size > 1).flatten
@@ -303,11 +315,36 @@ final class LakeTable(
         .map(r => r.getInt(0) -> BucketStats(r.getLong(1), None, None)).toMap
   }
 
+  /** Leaf parquet files of a just-written bucket dir: the one local listing
+    * per commit that lets every subsequent READ skip listing entirely
+    * (see FileEntry.leaves).
+    */
+  private def leavesOf(pathRel: String): Seq[LeafFile] = {
+    val dir = Paths.get(root, pathRel)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listNames(dir).filter(_.endsWith(".parquet")).sorted
+      .map(n => LeafFile(n, Files.size(dir.resolve(n))))
+  }
+
   private def entriesFor(dirRel: String, epoch: Long,
                          stats: Map[Int, BucketStats]): Seq[FileEntry] =
     stats.toSeq.sortBy(_._1).map { case (b, s) =>
-      FileEntry(s"$dirRel/__bucket=$b", b, s.rows, epoch, s.min0, s.max0)
+      val p = s"$dirRel/__bucket=$b"
+      FileEntry(p, b, s.rows, epoch, s.min0, s.max0, leavesOf(p))
     }
+
+  /** Parquet read of a manifest file-entry set: manifest-planned (zero
+    * listing — `ManifestFileIndex` over exact (path, size) pairs) when every
+    * entry carries its leaf files; legacy path-listing read for pre-r4
+    * manifests.
+    */
+  private def readEntries(spark: SparkSession, fs: Seq[FileEntry],
+                          schema: StructType): DataFrame =
+    if (fs.nonEmpty && fs.forall(_.leaves.nonEmpty))
+      org.apache.spark.sql.graftbridge.ManifestRead.parquet(spark,
+        fs.flatMap(f => f.leaves.map(l => (s"$root/${f.path}/${l.name}", l.bytes))),
+        schema)
+    else spark.read.schema(schema).parquet(fs.map(f => s"$root/${f.path}"): _*)
 
   /** Rewrite each over-threshold bucket's COMPACTABLE files (older than the
     * `changeRetention` horizon) into one file set. `resolve` = drop
@@ -329,8 +366,7 @@ final class LakeTable(
     val cInput = files.filter(f => overfull.contains(f.bucket) && f.epochAdded <= horizon)
     val cDirRel = f"data/e$epoch%012dc"
     val withEpochSchema = schema.add(StructField("__epoch", LongType, nullable = true))
-    val raw = spark.read.schema(withEpochSchema)
-      .parquet(cInput.map(f => s"$root/${f.path}"): _*)
+    val raw = readEntries(spark, cInput, withEpochSchema)
     val rewritten = (if (resolve) resolveLatest(raw) else raw)
       .withColumn("__bucket", bucketCol)
     rewritten
@@ -359,7 +395,8 @@ final class LakeTable(
       // derived bounds: only when every input carries bounds
       val mn = if (ins.forall(_.min0.isDefined)) Some(ins.flatMap(_.min0).min(utf8Order)) else None
       val mx = if (ins.forall(_.max0.isDefined)) Some(ins.flatMap(_.max0).max(utf8Order)) else None
-      FileEntry(s"$cDirRel/__bucket=$b", b, rows, epoch, mn, mx)
+      val p = s"$cDirRel/__bucket=$b"
+      FileEntry(p, b, rows, epoch, mn, mx, leavesOf(p))
     }
     (files.filterNot(cInput.contains) ++ cEntries).sortBy(_.bucket)
   }
@@ -460,8 +497,7 @@ final class LakeTable(
           // changesSince never re-reports an unchanged row after a rewrite.
           val withEpochSchema =
             parentSchema.add(StructField("__epoch", LongType, nullable = true))
-          val raw = spark.read.schema(withEpochSchema)
-            .parquet(rewritten.map(f => s"$root/${f.path}"): _*)
+          val raw = readEntries(spark, rewritten, withEpochSchema)
           val existing = if (mergeOnRead) resolveLatest(raw) else raw
           Some(existing
             .select((mergedSchema.fields.toIndexedSeq.map(f =>
@@ -706,9 +742,8 @@ final class LakeTable(
       case Some(p) =>
         val live = p.files.filter(f => touched.contains(f.bucket))
         if (live.isEmpty) None
-        else Some(spark.read
-          .schema(DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
-          .parquet(live.map(f => s"$root/${f.path}"): _*)
+        else Some(readEntries(spark, live,
+            DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
           .select(keyColumns.map(col): _*))
       case None => None
     }
@@ -825,8 +860,7 @@ final class LakeTable(
         if (candidates.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(schema.fields :+ StructField("_commit_epoch", LongType)))
-        else spark.read.schema(withEpoch)
-          .parquet(candidates.map(f => s"$root/${f.path}"): _*)
+        else readEntries(spark, candidates, withEpoch)
           .filter(col("__epoch") > sinceEpoch && col("__epoch") <= asOf)
           .withColumnRenamed("__epoch", "_commit_epoch")
     }
@@ -884,8 +918,7 @@ final class LakeTable(
     // it would break changesSince for append-only tables after a rebucket
     val withEpochSchema =
       schema.add(StructField("__epoch", LongType, nullable = true))
-    val all = spark.read.schema(withEpochSchema)
-      .parquet(parent.files.map(f => s"$root/${f.path}"): _*)
+    val all = readEntries(spark, parent.files, withEpochSchema)
     val resolved = if (mergeOnRead) resolveLatest(all) else all
     val rewritten = resolved.withColumn("__bucket", bucketColFor(newNumBuckets))
 

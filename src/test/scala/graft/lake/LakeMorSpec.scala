@@ -52,6 +52,39 @@ class LakeMorSpec extends SparkSpec {
     }
   }
 
+  test("snapshot reads are manifest-planned: exact file set, no listing index") {
+    val t = new LakeTable(tmpDir("mplan") + "/t", numBuckets = 3,
+      keyColumns = Seq("k"), mergeOnRead = true)
+    t.mergeDelta(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), 0L)
+    t.mergeDelta(Seq(("b", 3L), ("c", 4L)).toDF("k", "v"), 1L)
+
+    // every committed entry carries its leaf files with exact sizes
+    val m = t.latestManifest().get
+    assert(m.files.forall(_.leaves.nonEmpty), "commit must record leaf files")
+    m.files.foreach(f => f.leaves.foreach { l =>
+      val p = java.nio.file.Paths.get(t.root, f.path, l.name)
+      assert(java.nio.file.Files.size(p) == l.bytes, s"stale size for $p")
+    })
+
+    // the scan plans over ManifestFileIndex (zero-listing), not Spark's
+    // listing-based InMemoryFileIndex
+    val plan = t.snapshot(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("ManifestFileIndex"),
+      s"snapshot must plan from the manifest:\n${plan.take(1500)}")
+    assert(!plan.contains("InMemoryFileIndex"),
+      "no listing-based index may appear in a snapshot scan")
+
+    // and the data read through it is correct (resolution unaffected)
+    val got = t.snapshot(spark).select("k", "v").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 3L, "c" -> 4L))
+
+    // filter pushdown still reaches the parquet scan through the custom index
+    val pushed = t.snapshot(spark).filter(col("k") === "a")
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [") && pushed.contains("IsNotNull(k)"),
+      s"pushdown must survive the manifest-planned scan:\n${pushed.take(1500)}")
+  }
+
   test("COW merge on a multi-version MOR table carries the RESOLVED version once") {
     val t = new LakeTable(tmpDir("cow-on-mor") + "/t", numBuckets = 1,
       keyColumns = Seq("k"), mergeOnRead = true)
