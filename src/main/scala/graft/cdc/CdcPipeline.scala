@@ -510,6 +510,10 @@ final class CdcEngine(
       meta: Map[String, String],
       lineage: Map[String, Long],
       tLineage: Map[String, Long],
+      /** Distinct request months of this epoch's transfers (from the one
+        * summary job) — feeds the enriched commit's as-of dim expansion.
+        */
+      months: Seq[Int],
   )
 
   /** The epoch's COMPUTE phase: batch stats, prior-state assembly, the fused
@@ -629,15 +633,18 @@ final class CdcEngine(
       // for BOTH table commits plus the observability counter sums —
       // replaces three separate aggregation jobs per epoch (per-epoch
       // barriers are the fixed cost that dominates small batches)
+      val ymExpr = {
+        val ts = timestamp_micros(col("transfer.dateRequestedMicros"))
+        (year(ts) * 100 + month(ts)).cast("int")
+      }
       val missingDimFlag: org.apache.spark.sql.Column = activeDimMonths match {
         case Some(ms) =>
-          val ts = timestamp_micros(col("transfer.dateRequestedMicros"))
-          val ym = (year(ts) * 100 + month(ts)).cast("int")
-          val prevYm = when(pmod(ym, lit(100)) === 1, ym - 89).otherwise(ym - 1)
+          val prevYm = when(pmod(ymExpr, lit(100)) === 1, ymExpr - 89)
+            .otherwise(ymExpr - 1)
           val missing =
             if (ms.isEmpty) col("transfer").isNotNull
             else col("transfer").isNotNull &&
-              !ym.isin(ms.toSeq: _*) && !prevYm.isin(ms.toSeq: _*)
+              !ymExpr.isin(ms.toSeq: _*) && !prevYm.isin(ms.toSeq: _*)
           missing.cast("long")
         case None => lit(0L)
       }
@@ -650,7 +657,11 @@ final class CdcEngine(
           coalesce(col("transfer.unknownPurpose"), lit(0L)).as("up"),
           coalesce(col("transfer.negativeSla"), lit(0L)).as("ns"),
           coalesce(col("transfer.duplicatesDropped"), lit(0L)).as("dd"),
-          missingDimFlag.as("md"))
+          missingDimFlag.as("md"),
+          // null when no transfer — collect_set drops nulls, so the agg
+          // yields exactly the epoch's distinct request months (feeds the
+          // enriched commit's as-of expansion without its own job)
+          when(col("transfer").isNotNull, ymExpr).as("ym"))
         .withColumn("__bucket", state.bucketCol) // both tables bucket on repo
         .groupBy("__bucket").agg(
           sum("isE").as("e"), sum("isT").as("t"),
@@ -661,8 +672,10 @@ final class CdcEngine(
           min(when(col("isE") === 1L, col("repo"))).as("emn"),
           max(when(col("isE") === 1L, col("repo"))).as("emx"),
           min(when(col("isT") === 1L, col("repo"))).as("tmn"),
-          max(when(col("isT") === 1L, col("repo"))).as("tmx"))
+          max(when(col("isT") === 1L, col("repo"))).as("tmx"),
+          collect_set(col("ym")).as("yms"))
         .collect()
+      val months = summary.flatMap(_.getSeq[Int](12)).distinct.toSeq
       val eventStats = summary.filter(_.getLong(1) > 0).map(r =>
         r.getInt(0) -> graft.lake.BucketStats(r.getLong(1),
           Option(r.getString(8)), Option(r.getString(9)))).toMap
@@ -715,7 +728,7 @@ final class CdcEngine(
       val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
 
       FoldResult(epoch, out, upserts, freshEvents, touched, eventStats,
-        transferStats, meta, lineage, tLineage)
+        transferStats, meta, lineage, tLineage, months)
     } catch {
       case t: Throwable =>
         out.unpersist()
@@ -768,7 +781,9 @@ final class CdcEngine(
         // transfers commit, so its precomputed stats apply when the
         // bucketing matches
         val sameB = tbl.currentNumBuckets == state.currentNumBuckets
-        tbl.mergeDelta(Enrichment.enrich(f.upserts, activeDim.get), epoch,
+        tbl.mergeDelta(
+          Enrichment.enrich(f.upserts, activeDim.get, monthsHint = Some(f.months)),
+          epoch,
           metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched),
           precomputedStats = if (sameB) Some(f.transferStats) else None,
           compactInline = inlineCompaction)

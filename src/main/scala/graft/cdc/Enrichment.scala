@@ -101,13 +101,20 @@ object Enrichment {
     * as-of the transfer's request month, null-padded on miss. Two broadcast
     * joins; zero shuffles of the transfers side.
     */
-  def enrich(transfers: DataFrame, dim: DataFrame): DataFrame = {
+  def enrich(transfers: DataFrame, dim: DataFrame,
+             /** The distinct request months of `transfers`, when the caller
+               * already knows them (the CDC engine's epoch summary computes
+               * them in its one summary job) — saves a per-call distinct
+               * collect job. Must be exact: months drive the effective-as-of
+               * dim expansion.
+               */
+             monthsHint: Option[Seq[Int]] = None): DataFrame = {
     val spark = transfers.sparkSession
     import spark.implicits._
-    val months = transfers
+    val months = monthsHint.getOrElse(transfers
       .select((year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
         month(timestamp_micros(col("dateRequestedMicros")))).cast("int").as("ym"))
-      .distinct().as[Int].collect().toSeq
+      .distinct().as[Int].collect().toSeq)
     if (months.isEmpty) return transfers
     val eff = effectiveAsOf(dim, months)
     val reqDim = eff.select(

@@ -79,6 +79,40 @@ class PipelinedApplySpec extends SparkSpec {
     assert((eng.transfers.latestManifest(), eng.state.latestManifest()) == heads)
   }
 
+  test("applyEpochs heals a half-committed epoch mid-range (crash recovery)") {
+    import org.apache.spark.sql.functions.{col => c, lit => l, sha2 => sh}
+    val eng = new CdcEngine(tmpDir("pipe-heal"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    // manual half-applied epoch 1: ONLY the state table commits (the same
+    // rows applyEpoch would write), then the process "crashes"
+    val stamped = log.filter(_.epoch == 1L).withColumn("epoch", l(1L)).as[ChangeEvent]
+    val touched = stamped.toDF().agg(
+      org.apache.spark.sql.functions.collect_set(eng.state.bucketCol))
+      .collect()(0).getSeq[Int](0).toSet
+    val eventCols = spark.emptyDataset[ChangeEvent].columns
+    val priorEv = eng.state.snapshot(spark, buckets = Some(touched))
+      .select(eventCols.map(c).toIndexedSeq: _*).as[ChangeEvent]
+    val cutoffLocal = 14 * day
+    val fresh = priorEv.union(stamped)
+      .groupByKey(_.repo)
+      .flatMapGroups((r, it) => CdcPipeline.applyGroup(r, it, cutoffLocal, 1L))
+      .filter(_.event.isDefined).map(_.event.get).toDF()
+      .withColumn("content_sha256", sh(c("content"), 256))
+    eng.state.appendNew(fresh, 1L, touchedBuckets = Some(touched), assumeNew = true)
+    assert(eng.transfers.latestManifest().get.epoch == 0L, "transfers must lag")
+
+    // the restarted PIPELINED driver replays the whole range and heals
+    eng.applyEpochs(spark, batches)
+    assert(eng.committedThrough().contains(3L))
+    val ref = new CdcEngine(tmpDir("pipe-heal-ref"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    batches.foreach { case (e, b) => ref.applyEpoch(spark, b, e) }
+    assert(shaMap(eng.currentTransfers(spark)) == shaMap(ref.currentTransfers(spark)),
+      "healed pipelined run must equal the clean sequential run")
+    assert(stateMap(eng) == stateMap(ref))
+  }
+
   test("classifyPreDedup equals classify modulo the batching-dependent dupe counter") {
     // the hot-key fixture: redelivered copies + mega-fragmented sessions —
     // exactly the shape the pre-dedup variant exists for
