@@ -21,6 +21,35 @@ object Export {
       .partitionBy("date_requested_day")
       .parquet(outDir)
 
+  /** The reference's LITERAL output tree —
+    * `{base}/v11/cutoff-{c}/YYYY/MM/DD/YYYY-MM-DD-transfers.parquet`
+    * (`s3_uri_resolver.py:80-91`, one parquet per day,
+    * `spine_runner.py:28-54`) — for drop-in compatibility with consumers of
+    * that layout. A driver loop over the window's days with a
+    * single-partition write each, exactly the reference's write pattern;
+    * the Hive-partitioned `exportDaily` above remains the at-scale path
+    * (same rows, golden-diffed equivalent).
+    *
+    * Returns the written day → path map.
+    */
+  def exportDailyReferenceLayout(transfers: DataFrame, base: String,
+                                 cutoffDays: Int): Map[String, String] = {
+    import transfers.sparkSession.implicits._
+    val withD = withDay(transfers).cache()
+    try {
+      val days = withD.select("date_requested_day").distinct()
+        .as[String].collect().sorted
+      days.map { d =>
+        val path = UriResolver.gp2gpTransfers(base, java.time.LocalDate.parse(d), cutoffDays)
+        withD.filter(col("date_requested_day") === d)
+          .drop("date_requested_day")
+          .coalesce(1) // the reference writes ONE parquet per day
+          .write.mode("overwrite").parquet(path)
+        d -> path
+      }.toMap
+    } finally withD.unpersist()
+  }
+
   /** Incremental flavour: rewrite ONLY the day partitions affected since the
     * exporter's last run, instead of re-exporting the whole table.
     *
