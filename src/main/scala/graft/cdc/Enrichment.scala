@@ -55,6 +55,53 @@ object Enrichment {
     rows.toDF()
   }
 
+  /** Read the reference's monthly ODS metadata JSON files
+    * (`organisationMetadata.json` — one whole-file object per month,
+    * `ods_portal/organisation_metadata.py:22-47`) into the flat
+    * `OrgDimRow` dim this engine enriches with. Faithful to the
+    * reference's lookup construction (`organisation_lookup.py:14-30`):
+    *  - one row per (asid, month), via each practice's `asids` list;
+    *  - sicbl resolved through the practice-ods → sicbl mapping, null when
+    *    no sicbl lists the practice (the lookup's `.get` → None);
+    *  - duplicate asids / practice-ods across entries: LAST entry wins
+    *    (dict-comprehension overwrite order), reproduced via posexplode +
+    *    last-position row_number.
+    */
+  def readOdsJson(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("generated_on", StringType),
+      StructField("year", IntegerType),
+      StructField("month", IntegerType),
+      StructField("practices", ArrayType(StructType(Seq(
+        StructField("ods_code", StringType),
+        StructField("name", StringType),
+        StructField("asids", ArrayType(StringType)))))),
+      StructField("sicbls", ArrayType(StructType(Seq(
+        StructField("ods_code", StringType),
+        StructField("name", StringType),
+        StructField("practices", ArrayType(StringType)))))),
+    ))
+    val raw = spark.read.option("multiLine", true).schema(schema).json(paths: _*)
+    val ym = (col("year") * 100 + col("month")).cast("int").as("yearMonth")
+    val practices = raw
+      .select(ym, posexplode(col("practices")).as(Seq("ppos", "p")))
+      .select(col("yearMonth"), col("ppos"), col("p.ods_code").as("odsCode"),
+        col("p.name").as("name"), explode(col("p.asids")).as("asid"))
+    val pw = Window.partitionBy("yearMonth", "asid").orderBy(col("ppos").desc)
+    val pLast = practices.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") === 1).drop("rn", "ppos")
+    val sicbls = raw
+      .select(ym, posexplode(col("sicbls")).as(Seq("spos", "s")))
+      .select(col("yearMonth"), col("spos"), col("s.ods_code").as("sicblOdsCode"),
+        col("s.name").as("sicblName"), explode(col("s.practices")).as("odsCode"))
+    val sw = Window.partitionBy("yearMonth", "odsCode").orderBy(col("spos").desc)
+    val sLast = sicbls.withColumn("rn", row_number().over(sw))
+      .filter(col("rn") === 1).drop("rn", "spos")
+    pLast.join(sLast, Seq("yearMonth", "odsCode"), "left_outer")
+      .select("asid", "odsCode", "name", "sicblOdsCode", "sicblName", "yearMonth")
+  }
+
   /** Expand the dim to one EFFECTIVE row per (asid, query month): the query
     * month's snapshot, falling back EXACTLY ONE month — the reference falls
     * back a single month and raises if that is also missing

@@ -18,7 +18,10 @@ import java.time.LocalDate
   *   GRAFT_CUTOFF_DAYS                  default 14
   *   GRAFT_INPUT                        change-log CSV dir(s), comma-separated
   *   GRAFT_OUTPUT                       daily parquet export dir
-  *   GRAFT_DIM_PATH                     optional org-dimension parquet
+  *   GRAFT_DIM_PATH                     optional org dimension: parquet dir
+  *                                      OR comma-separated monthly
+  *                                      organisationMetadata.json files
+  *                                      (the reference's native format)
   *   GRAFT_STRICT_ODS=true              raise (reference OdsMetadataNotFound
   *                                      behaviour) when a window month and
   *                                      its previous month both lack a dim
@@ -78,7 +81,13 @@ object TransferPipelineJob {
         col("dateRequestedMicros") < lit(w.endMicros))
     val enriched = cfg.dimPath match {
       case Some(p) =>
-        val dim = spark.read.parquet(p)
+        // the reference's native dim format is monthly organisationMetadata
+        // JSON (comma-separated month files); parquet stays the lake-native
+        // alternative
+        val paths = p.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val dim =
+          if (paths.forall(_.endsWith(".json"))) Enrichment.readOdsJson(spark, paths)
+          else spark.read.parquet(paths: _*)
         // the reference RAISES when a window month and its previous month
         // both lack a dim snapshot (organisation_metadata_monthly.py:26-34);
         // GRAFT_STRICT_ODS reproduces the raise, the default surfaces the

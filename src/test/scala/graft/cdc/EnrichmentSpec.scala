@@ -68,6 +68,50 @@ class EnrichmentSpec extends SparkSpec {
     assert(out("r2").getAs[String]("sending_practice_sicbl_name") == "SICBL 2")
   }
 
+  test("readOdsJson: reference JSON shape → flat dim, sicbl null-pad, last-entry-wins") {
+    val dir = java.nio.file.Files.createTempDirectory("ods-json")
+    val json =
+      """{
+        |  "generated_on": "2022-01-15T16:51:21.353977+00:00",
+        |  "year": 2019, "month": 12,
+        |  "practices": [
+        |    {"ods_code": "A1", "name": "Practice A (stale)", "asids": ["asid-1", "asid-9"]},
+        |    {"ods_code": "B2", "name": "Practice B", "asids": []},
+        |    {"ods_code": "C3", "name": "Practice C, no sicbl", "asids": ["asid-3"]},
+        |    {"ods_code": "A9", "name": "Practice A9 (wins asid-1)", "asids": ["asid-1"]}
+        |  ],
+        |  "sicbls": [
+        |    {"ods_code": "10D", "name": "Sicbl Ten (stale)", "practices": ["A1", "B2"]},
+        |    {"ods_code": "11E", "name": "Sicbl Eleven (wins A1)", "practices": ["A1"]}
+        |  ]
+        |}""".stripMargin
+    val p = dir.resolve("organisationMetadata.json")
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+
+    val rows = Enrichment.readOdsJson(spark, Seq(p.toString)).collect()
+      .map(r => r.getAs[String]("asid") -> r).toMap
+    assert(rows.keySet == Set("asid-1", "asid-9", "asid-3"))
+    // duplicate asid across practices: the LAST practice entry wins
+    // (organisation_lookup.py dict-comprehension overwrite order)
+    assert(rows("asid-1").getAs[String]("odsCode") == "A9")
+    assert(rows("asid-1").getAs[String]("name") == "Practice A9 (wins asid-1)")
+    // practice listed by two sicbls: last sicbl entry wins
+    assert(rows("asid-9").getAs[String]("sicblOdsCode") == "11E")
+    assert(rows("asid-9").getAs[String]("sicblName") == "Sicbl Eleven (wins A1)")
+    // practice in no sicbl list → null-pad (the lookup's .get → None)
+    assert(rows("asid-3").getAs[String]("sicblOdsCode") == null)
+    assert(rows.values.forall(_.getAs[Int]("yearMonth") == 201912))
+
+    // and the flat dim drops straight into the enrichment join
+    val transfers = Seq(("r1", "asid-1", "asid-3", microsOf(201912, 5)))
+      .toDF("repo", "requestingPracticeAsid", "sendingPracticeAsid", "dateRequestedMicros")
+    val out = Enrichment.enrich(transfers,
+      Enrichment.readOdsJson(spark, Seq(p.toString))).collect()(0)
+    assert(out.getAs[String]("requesting_practice_ods_code") == "A9")
+    assert(out.getAs[String]("sending_practice_name") == "Practice C, no sicbl")
+    assert(out.getAs[String]("sending_practice_sicbl_ods_code") == null)
+  }
+
   test("enrichment plan broadcasts the dim (no shuffle of the fact side)") {
     val transfers = Seq(("r1", "asid-1", "asid-2", microsOf(202001, 3)))
       .toDF("repo", "requestingPracticeAsid", "sendingPracticeAsid", "dateRequestedMicros")
