@@ -17,6 +17,12 @@ import java.time.LocalDate
   *   GRAFT_START_DATE / GRAFT_END_DATE  yyyy-MM-dd, both or neither
   *   GRAFT_CUTOFF_DAYS                  default 14
   *   GRAFT_INPUT                        change-log CSV dir(s), comma-separated
+  *   GRAFT_INPUT_BASE                   alternative to GRAFT_INPUT: a base
+  *                                      ("bucket") whose day files are
+  *                                      resolved from the window via the
+  *                                      reference's v3 URI scheme
+  *                                      (window + overflow days —
+  *                                      s3_uri_resolver.py:39-52)
   *   GRAFT_OUTPUT                       daily parquet export dir
   *   GRAFT_DIM_PATH                     optional org dimension: parquet dir
   *                                      OR comma-separated monthly
@@ -59,7 +65,13 @@ object PipelineConfig {
       window = window,
       inputPaths =
         if (classifyMi) Seq.empty
-        else required("GRAFT_INPUT").split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        else env.get("GRAFT_INPUT_BASE") match {
+          // the reference resolves its input URIs FROM the window (main.py →
+          // TransferClassifierS3UriResolver.spine_messages)
+          case Some(base) => graft.cdc.UriResolver.spineMessages(base, window.scanDays)
+          case None =>
+            required("GRAFT_INPUT").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        },
       outputDir = if (classifyMi) "" else required("GRAFT_OUTPUT"),
       dimPath = env.get("GRAFT_DIM_PATH"),
       strictOds = env.get("GRAFT_STRICT_ODS").contains("true"),

@@ -33,6 +33,16 @@ class PipelineJobSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PipelineConfig.fromEnv(Map.empty, today) // GRAFT_INPUT missing
     }
+
+    // GRAFT_INPUT_BASE: day files resolved from the window through the
+    // reference's v3 URI scheme, window days PLUS overflow (cutoff) days
+    val resolved = PipelineConfig.fromEnv(Map(
+      "GRAFT_START_DATE" -> "2019-12-02", "GRAFT_END_DATE" -> "2019-12-03",
+      "GRAFT_CUTOFF_DAYS" -> "1",
+      "GRAFT_INPUT_BASE" -> "base", "GRAFT_OUTPUT" -> "/out"), today)
+    assert(resolved.inputPaths == Seq(
+      "base/v3/2019/12/02/2019-12-02_spine_messages.csv.gz",
+      "base/v3/2019/12/03/2019-12-03_spine_messages.csv.gz"))
   }
 
   test("spine run: CSV in, daily parquet out, row count returned") {
