@@ -1,0 +1,52 @@
+package graft.vis
+
+import graft.classifier.Scenarios
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-parity goldens for the visualiser port: the expected strings below
+  * were produced by the REFERENCE's own `gp2gpvis/visualiser.py`
+  * (`format_csv_rows`) over the same deterministic message sequences the
+  * scenario builders emit.
+  */
+class VisualiserSpec extends AnyFunSuite {
+
+  test("full output matches the reference formatter byte-for-byte") {
+    val got = ConversationVisualiser.format(Scenarios.ehrIntegrationFailed(28))
+    val want =
+      """GP2GP Conversation: conv-1
+        |Requester: 123456789012 (SystemOne)
+        |Sender: 987654321098 (Vision)
+        |
+        |     Requester                                                        Sender
+        |         |                                                              |
+        |         | ------------------ (conv-) GP2GP request ------------------> |   20-01-01 00:01:00
+        |         |                                                              |
+        |         | <---- (conv-) Acknowledgement of GP2GP request 'conv-' ----- |   20-01-01 00:02:00
+        |         |                                                              |
+        |         | <--------------------- (ehr) Core EHR ---------------------- |   20-01-01 00:03:00
+        |         |                                                              |
+        |         | -------- (conv-) Acknowledgement of Core EHR 'ehr' --------> |   20-01-01 00:04:00
+        |         |                Error code: 28 (Wrong patient)                |""".stripMargin
+    assert(got == want)
+  }
+
+  test("minimal output + dangling-ack annotation match the reference") {
+    val got = ConversationVisualiser.format(
+      Scenarios.ehrMissingMessageForAnAcknowledgement,
+      minimal = true, sortMessages = false)
+    val want =
+      """     Requester                                                        Sender
+        |         |                                                              |
+        |         | ------------------ (conv-) GP2GP request ------------------> |
+        |         |                                                              |
+        |         | <---- (conv-) Acknowledgement of non existent message! ----- |""".stripMargin
+    assert(got == want)
+  }
+
+  test("rejects a conversation not starting with a request (reference raise)") {
+    intercept[IllegalArgumentException] {
+      ConversationVisualiser.format(
+        Scenarios.requestAcknowledgedSuccessfully.reverse, sortMessages = false)
+    }
+  }
+}
