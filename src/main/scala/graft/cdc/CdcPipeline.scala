@@ -102,6 +102,17 @@ object CdcPipeline {
     }
   }
 
+  /** Lift raw change events into the apply fold's row type (no pre-parsed
+    * message — the fold parses them once, on first apply).
+    */
+  def toApplyEvents(events: Dataset[ChangeEvent]): Dataset[ApplyEvent] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("parsed", lit(null).cast(
+        org.apache.spark.sql.Encoders.product[SpineMessage].schema))
+      .as[ApplyEvent]
+  }
+
   /** Per-key fold, shared by the batch path above and the streaming
     * flatMapGroupsWithState path.
     */
@@ -184,9 +195,10 @@ object CdcPipeline {
 
   /** One output row of the fused epoch fold: either a classified transfer or
     * a fresh (first-seen this epoch) state event — both emitted from the
-    * SAME groupByKey pass so an epoch apply has exactly one shuffle.
+    * SAME groupByKey pass so an epoch apply has exactly one shuffle. Fresh
+    * events carry their parsed message for the state sink (see ApplyEvent).
     */
-  final case class ApplyOut(transfer: Option[TransferRecord], event: Option[ChangeEvent])
+  final case class ApplyOut(transfer: Option[TransferRecord], event: Option[ApplyEvent])
 
   /** Fused per-key epoch fold: dedup by commit (min offset), classify the
     * full session, and emit the deduped events that are NEW this epoch
@@ -194,10 +206,14 @@ object CdcPipeline {
     * Prior-state events carry earlier epochs, so a commit redelivered now
     * resolves to its first-seen copy and is NOT re-emitted — the same
     * first-offset-wins rule as full recompute.
+    *
+    * Each deduped event's message comes from its `parsed` field when
+    * present (prior state — parsed exactly once, on first apply) and from
+    * one `MessageParser.parse(content)` otherwise (this epoch's raw batch).
     */
-  def applyGroup(repo: String, events: Iterator[ChangeEvent],
+  def applyGroup(repo: String, events: Iterator[ApplyEvent],
                  cutoffMicros: Long, currentEpoch: Long): Iterator[ApplyOut] = {
-    val byCommit = mutable.HashMap.empty[String, ChangeEvent]
+    val byCommit = mutable.HashMap.empty[String, ApplyEvent]
     var dupes = 0L
     events.foreach { e =>
       byCommit.get(e.commit) match {
@@ -211,7 +227,12 @@ object CdcPipeline {
     }
     if (byCommit.isEmpty) return Iterator.empty
     val deduped = byCommit.values.toArray
-    val fresh = deduped.filter(_.epoch == currentEpoch)
+    // parse-or-reuse ONCE per deduped event, keeping the copy-to-message
+    // pairing so fresh emissions persist their parsed form
+    val withMsg: Array[(ApplyEvent, SpineMessage)] = deduped.map { e =>
+      e -> (if (e.parsed != null) e.parsed else MessageParser.parse(e.content))
+    }
+    val fresh = withMsg.filter(_._1.epoch == currentEpoch)
     // Emit-on-change: no event of THIS epoch survived dedup ⇒ the session's
     // input set — and therefore its classification — is exactly what the
     // table already committed. Emitting it anyway (which the fold-everything
@@ -223,11 +244,29 @@ object CdcPipeline {
     // redelivered copy) is deliberately not re-committed — counters are
     // diagnostics, excluded from row_sha256 for the same reason.
     if (fresh.isEmpty) return Iterator.empty
+    // same deterministic (tsMicros, offset) total order as classifyGroup
+    java.util.Arrays.sort(withMsg, new java.util.Comparator[(ApplyEvent, SpineMessage)] {
+      override def compare(a: (ApplyEvent, SpineMessage),
+                           b: (ApplyEvent, SpineMessage)): Int = {
+        val c = java.lang.Long.compare(a._1.tsMicros, b._1.tsMicros)
+        if (c != 0) c else java.lang.Long.compare(a._1.offset, b._1.offset)
+      }
+    })
+    var minOff = Long.MaxValue
+    var maxOff = Long.MinValue
+    withMsg.foreach { case (e, _) =>
+      if (e.offset < minOff) minOff = e.offset
+      if (e.offset > maxOff) maxOff = e.offset
+    }
     // the fold dedups BEFORE classify, so redelivery (in-batch or vs prior
     // state) is counted here, not by the classifier's inner dedup
-    val transfer = classifyGroup(repo, deduped.iterator.map(_.slim), cutoffMicros)
-      .map(t => ApplyOut(Some(t.copy(duplicatesDropped = dupes)), None))
-    transfer.iterator ++ fresh.iterator.map(e => ApplyOut(None, Some(e)))
+    val transfer = classifyParsed(repo, withMsg.map(_._2).toVector, cutoffMicros,
+        eventCount = deduped.length.toLong, dupes = dupes,
+        minOff = minOff, maxOff = maxOff)
+      .map(t => ApplyOut(Some(t), None))
+    transfer.iterator ++ fresh.iterator.map { case (e, m) =>
+      ApplyOut(None, Some(e.copy(parsed = m)))
+    }
   }
 
   /** Canonical per-row hash of the classified output — the replay invariant:
@@ -320,6 +359,20 @@ final class CdcEngine(
       * (applyDimUpdate) and retry the SAME epoch id.
       */
     val strictDimMonths: Boolean = false,
+    /** Persist each fresh event's PARSED message next to its raw content in
+      * the state table, so every later epoch's prior-state read supplies
+      * the stored parse and prunes the content column away entirely (no
+      * re-read, no re-parse — proven by the decoy-content test). This is a
+      * measured TRADE, not a free win: when `content` is large relative to
+      * its parsed extract (the north-star shape — source-file payloads,
+      * where parsed metadata is a tiny fraction of the blob) it removes
+      * most prior-read/shuffle bytes; when content IS the compact message
+      * (this repo's bench fixtures) the duplicated fields cost ~+26 %
+      * shuffle bytes (task-metrics-measured) for no byte win, so the
+      * default stays off. Classification output is identical either way
+      * (PipelinedApplySpec parity test).
+      */
+    val storeParsedState: Boolean = false,
 ) {
   /** The dim in force for subsequent epoch enrichment — starts as the
     * constructor `dim`, replaced by `applyDimUpdate`.
@@ -570,11 +623,35 @@ final class CdcEngine(
     val pendingPart = pendingFresh
       .filter(p => p.touched.exists(touched)) // skip when bucket-disjoint
       .map(_.freshEvents.where(state.bucketCol.isin(touched.toSeq: _*)))
-    val priorCols =
-      Seq("repo", "commit", "content", "offset", "tsMicros", "epoch").map(col)
+    val parsedType = org.apache.spark.sql.Encoders.product[SpineMessage].schema
+    val nullS = lit(null).cast("string")
+    // Prior rows enter the fold as ApplyEvent. When the state table carries
+    // the parsed message (every table this binary creates), `content` is a
+    // NULL LITERAL here — the dominant column of the table is pruned at the
+    // parquet scan and never crosses the sessionize shuffle, and the fold
+    // reuses the stored parse. Tables born before the parsed column (their
+    // oldest files physically lack it) keep the legacy content+parse path.
+    def asApplyRows(df: DataFrame, hasParsed: Boolean): DataFrame =
+      if (hasParsed)
+        df.select(col("repo"), nullS.as("path"), col("commit"), nullS.as("lang"),
+          lit(null).cast("string").as("content"), col("offset"), nullS.as("op"),
+          col("tsMicros"), col("epoch"), col("parsed"))
+      else
+        df.select(col("repo"), nullS.as("path"), col("commit"), nullS.as("lang"),
+          col("content"), col("offset"), nullS.as("op"),
+          col("tsMicros"), col("epoch"), lit(null).cast(parsedType).as("parsed"))
+    // a warehouse born with stored parses must keep writing them — a
+    // flag-off engine would append parsed=null rows and a later parsed-path
+    // read would find neither payload form
+    require(storeParsedState || !state.bornWith("parsed"),
+      "state table was created with storeParsedState=true — the flag must " +
+        "stay on for this warehouse")
+    val snapshotHasParsed = storeParsedState &&
+      priorSnapshot.columns.contains("parsed") && state.bornWith("parsed")
     val priorRaw: Option[DataFrame] =
-      ((if (priorSnapshot.columns.isEmpty) None else Some(priorSnapshot)).toSeq ++
-        pendingPart.toSeq).map(_.select(priorCols: _*))
+      ((if (priorSnapshot.columns.isEmpty) None
+        else Some(asApplyRows(priorSnapshot, snapshotHasParsed))).toSeq ++
+        pendingPart.map(asApplyRows(_, hasParsed = storeParsedState)).toSeq)
         .reduceOption(_.unionByName(_))
     // Semi-join gate: manifest row counts (free — no Spark job) tell how
     // much prior state the touched buckets hold. When prior dwarfs the batch
@@ -589,27 +666,24 @@ final class CdcEngine(
       pendingFresh.map(_.eventStats.collect {
         case (b, s) if touched(b) => s.rows }.sum).getOrElse(0L)
     val semiJoinWins = priorTouchedRows > 4L * math.max(batchRows, 1L)
-    val priorEvents = priorRaw match {
-      case None => spark.emptyDataset[ChangeEvent]
+    // Prior-state events are folded but never RE-persisted (only fresh,
+    // current-epoch events reach the state sink) — path/lang/op are null
+    // LITERALS in asApplyRows (and content too on the parsed path), so
+    // parquet never reads those columns and the steady state's majority
+    // shuffle rows carry the compact parsed struct instead of raw content.
+    // Batch events keep full fields; the dedup keeps whichever copy wins,
+    // and a prior-copy win is by definition not fresh, so nulls never
+    // reach durable state.
+    val priorEvents: Dataset[ApplyEvent] = priorRaw match {
+      case None => spark.emptyDataset[ApplyEvent]
       case Some(raw0) =>
         val pruned =
           if (semiJoinWins)
             raw0.join(newEvents.select("repo").distinct(), Seq("repo"), "left_semi")
           else raw0
-        // Prior-state events are folded but never RE-persisted (only
-        // fresh, current-epoch events reach the state sink), and the fold
-        // reads only content + the envelope — so path/lang/op are null
-        // LITERALS here: parquet never reads those columns (column
-        // pruning) and the steady state's majority shuffle rows drop
-        // ~their bytes. Batch events keep full fields; the dedup keeps
-        // whichever copy wins, and a prior-copy win is by definition not
-        // fresh, so nulls never reach durable state.
-        pruned.select(
-          col("repo"), lit(null).cast("string").as("path"), col("commit"),
-          lit(null).cast("string").as("lang"), col("content"),
-          col("offset"), lit(null).cast("string").as("op"),
-          col("tsMicros"), col("epoch")).as[ChangeEvent]
+        pruned.as[ApplyEvent]
     }
+    val newApply = CdcPipeline.toApplyEvents(newEvents)
 
     // locals only in the closure — capturing the fields would serialize the
     // whole (non-serializable) engine
@@ -617,7 +691,7 @@ final class CdcEngine(
     // cached: Datasets do NOT reuse shuffle files across separate actions,
     // so without the cache each sink re-runs the union+shuffle+fold
     // (measured 2.3× slower than materializing the fold output once)
-    val out = priorEvents.union(newEvents)
+    val out = priorEvents.union(newApply)
       .groupByKey(_.repo)
       .flatMapGroups { (repo, it) =>
         CdcPipeline.applyGroup(repo, it, cutoff, epoch)
@@ -626,7 +700,8 @@ final class CdcEngine(
     try {
       val upserts = CdcPipeline.withRowSha(
         out.filter(_.transfer.isDefined).map(_.transfer.get).toDF())
-      val freshEvents = out.filter(_.event.isDefined).map(_.event.get).toDF()
+      val freshRaw = out.filter(_.event.isDefined).map(_.event.get).toDF()
+      val freshEvents = (if (storeParsedState) freshRaw else freshRaw.drop("parsed"))
         .withColumn("content_sha256", sha2(col("content"), 256))
 
       // ONE summary job over the cached fold output: per-bucket row counts

@@ -38,3 +38,25 @@ final case class SlimEvent(
     tsMicros: Long,
     epoch: Long,
 )
+
+/** The APPLY fold's working row: a full change event PLUS the optional
+  * pre-parsed message. The state table persists every fresh event's parsed
+  * form next to its raw content, so on every LATER epoch the prior-state
+  * read supplies `parsed` and NEVER touches `content` — the column (the
+  * dominant bytes of the table) is pruned at the parquet scan, is absent
+  * from the sessionize shuffle, and the per-event re-parse disappears.
+  * Content is only carried by this epoch's batch rows (`parsed == null`),
+  * which are parsed exactly once, on their first apply.
+  */
+final case class ApplyEvent(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String, // null for prior-state rows read via `parsed`
+    offset: Long,
+    op: String,
+    tsMicros: Long,
+    epoch: Long,
+    parsed: graft.classifier.SpineMessage, // null for raw batch rows
+)

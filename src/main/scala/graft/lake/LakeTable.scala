@@ -178,6 +178,19 @@ final class LakeTable(
     }
   }
 
+  /** Did the table's FIRST commit already carry `field`? A column added by
+    * later schema evolution reads as null from older files, so a caller
+    * that needs the column PHYSICALLY present in every live file (e.g. the
+    * engine's parsed-state fast path, which prunes the fallback column
+    * away) must check the birth schema, not the current one.
+    */
+  def bornWith(field: String): Boolean = {
+    val es = committedEpochs()
+    es.nonEmpty && manifestAt(es.min).exists(m =>
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        .fieldNames.contains(field))
+  }
+
   /** Time travel: newest manifest with epoch ≤ asOf. */
   def manifestAsOf(asOf: Long): Option[Manifest] = {
     val epochs = committedEpochs().filter(_ <= asOf)

@@ -206,7 +206,7 @@ class CdcEngineSpec extends SparkSpec {
     val eventCols = spark2.emptyDataset[ChangeEvent].columns
     val priorEv = prior.select(eventCols.map(c): _*).as[ChangeEvent]
     val cutoffLocal = 14 * day // local copy: the lambda must not capture the spec
-    val fresh = priorEv.union(stamped)
+    val fresh = CdcPipeline.toApplyEvents(priorEv.union(stamped))
       .groupByKey(_.repo)
       .flatMapGroups((r, it) => CdcPipeline.applyGroup(r, it, cutoffLocal, 1L))
       .filter(_.event.isDefined).map(_.event.get).toDF()
@@ -240,7 +240,7 @@ class CdcEngineSpec extends SparkSpec {
     val eventCols = spark.emptyDataset[ChangeEvent].columns
     val priorEv = prior.select(eventCols.map(c): _*).as[ChangeEvent]
     val cutoffLocal = 14 * day
-    val upserts = CdcPipeline.withRowSha(priorEv.union(stamped)
+    val upserts = CdcPipeline.withRowSha(CdcPipeline.toApplyEvents(priorEv.union(stamped))
       .groupByKey(_.repo)
       .flatMapGroups((r, it) => CdcPipeline.applyGroup(r, it, cutoffLocal, 1L))
       .filter(_.transfer.isDefined).map(_.transfer.get).toDF())

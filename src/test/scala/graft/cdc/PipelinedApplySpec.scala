@@ -94,7 +94,7 @@ class PipelinedApplySpec extends SparkSpec {
     val priorEv = eng.state.snapshot(spark, buckets = Some(touched))
       .select(eventCols.map(c).toIndexedSeq: _*).as[ChangeEvent]
     val cutoffLocal = 14 * day
-    val fresh = priorEv.union(stamped)
+    val fresh = CdcPipeline.toApplyEvents(priorEv.union(stamped))
       .groupByKey(_.repo)
       .flatMapGroups((r, it) => CdcPipeline.applyGroup(r, it, cutoffLocal, 1L))
       .filter(_.event.isDefined).map(_.event.get).toDF()
@@ -130,6 +130,58 @@ class PipelinedApplySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_min_by") || plan.contains("partial_"),
       s"dedup must combine map-side before the shuffle:\n${plan.take(2000)}")
+  }
+
+  test("prior-state fold consumes the stored parse — content is never re-read") {
+    import graft.classifier.{Interactions, SpineMessage}
+    val eng = new CdcEngine(tmpDir("parsed-path"), numBuckets = 4,
+      cutoffMicros = 14 * day, storeParsedState = true)
+    val t0 = 1577836800000000L
+    val req = SpineMessage(t0, "rP", "rP", Interactions.EhrRequestStarted,
+      "asid-r", "asid-s", None, None, Some("SystemOne"), Some("Vision"))
+    // state row whose CONTENT is deliberately different from its PARSED
+    // form: if any later fold read the content column, the divergent
+    // payload (a COPC) would change the classification
+    val decoy = req.copy(guid = "decoy", interactionId = Interactions.CommonPointToPoint)
+    val seeded = Seq(ApplyEvent("rP", "p", "rP", "scala",
+      MessageParser.format(decoy), offset = 1L, op = "insert",
+      tsMicros = t0, epoch = 0L, parsed = req)).toDS().toDF()
+      .withColumn("content_sha256", sha2(col("content"), 256))
+    eng.state.appendNew(seeded, 0L, assumeNew = true)
+    assert(eng.state.bornWith("parsed"))
+
+    // epoch 1 completes the session; the fold must classify from `parsed`
+    // (request started) — reading content would see a session with no
+    // request and drop it entirely
+    val ack = SpineMessage(t0 + 60000000L, "rP", "g2", Interactions.ApplicationAck,
+      "asid-s", "asid-r", Some("rP"), None, Some("Vision"), Some("SystemOne"))
+    val ev1 = Seq(ChangeEvent("rP", "p", "g2", "scala",
+      MessageParser.format(ack), offset = 2L, op = "insert",
+      tsMicros = ack.timeMicros, epoch = 1L)).toDS()
+    eng.applyEpoch(spark, ev1, 1L)
+    val rows = eng.currentTransfers(spark).collect()
+    assert(rows.length == 1, "session must classify from the parsed request")
+    assert(rows(0).getAs[String]("status") == "Technical failure")
+    assert(rows(0).getAs[String]("failureReason") == "Core extract not sent")
+  }
+
+  test("storeParsedState on/off produce identical transfers; off keeps state lean") {
+    val on = new CdcEngine(tmpDir("psd-on"), numBuckets = 8,
+      cutoffMicros = 14 * day, storeParsedState = true)
+    val off = new CdcEngine(tmpDir("psd-off"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    batches.foreach { case (e, b) => on.applyEpoch(spark, b, e) }
+    batches.foreach { case (e, b) => off.applyEpoch(spark, b, e) }
+    assert(shaMap(on.currentTransfers(spark)) == shaMap(off.currentTransfers(spark)),
+      "the stored-parse path must not change any classification")
+    assert(LakeTable.readSnapshot(on.state, spark).columns.contains("parsed"))
+    assert(!LakeTable.readSnapshot(off.state, spark).columns.contains("parsed"),
+      "flag off must not bloat state with the parsed column")
+    // a warehouse born with stored parses refuses a flag-off engine
+    val wrong = new CdcEngine(on.warehouse, numBuckets = 8, cutoffMicros = 14 * day)
+    intercept[IllegalArgumentException] {
+      wrong.applyEpoch(spark, log.filter(_.epoch == 0L), 100L)
+    }
   }
 
   test("applyEpochs rejects out-of-order epoch ids") {
