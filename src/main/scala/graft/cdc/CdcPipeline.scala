@@ -212,7 +212,15 @@ object CdcPipeline {
     * one `MessageParser.parse(content)` otherwise (this epoch's raw batch).
     */
   def applyGroup(repo: String, events: Iterator[ApplyEvent],
-                 cutoffMicros: Long, currentEpoch: Long): Iterator[ApplyOut] = {
+                 cutoffMicros: Long, currentEpoch: Long,
+                 /** Attach each fresh event's parsed message for the state
+                   * sink (storeParsedState engines). When false the emitted
+                   * events keep parsed = null — attaching unconditionally
+                   * would serialize a SpineMessage struct per fresh event
+                   * through the fold cache just to be dropped at the sink
+                   * (a measured ~10 % apply regression).
+                   */
+                 keepParsed: Boolean = true): Iterator[ApplyOut] = {
     val byCommit = mutable.HashMap.empty[String, ApplyEvent]
     var dupes = 0L
     events.foreach { e =>
@@ -265,7 +273,7 @@ object CdcPipeline {
         minOff = minOff, maxOff = maxOff)
       .map(t => ApplyOut(Some(t), None))
     transfer.iterator ++ fresh.iterator.map { case (e, m) =>
-      ApplyOut(None, Some(e.copy(parsed = m)))
+      ApplyOut(None, Some(if (keepParsed) e.copy(parsed = m) else e))
     }
   }
 
@@ -688,13 +696,14 @@ final class CdcEngine(
     // locals only in the closure — capturing the fields would serialize the
     // whole (non-serializable) engine
     val cutoff = cutoffMicros
+    val keepParsed = storeParsedState
     // cached: Datasets do NOT reuse shuffle files across separate actions,
     // so without the cache each sink re-runs the union+shuffle+fold
     // (measured 2.3× slower than materializing the fold output once)
     val out = priorEvents.union(newApply)
       .groupByKey(_.repo)
       .flatMapGroups { (repo, it) =>
-        CdcPipeline.applyGroup(repo, it, cutoff, epoch)
+        CdcPipeline.applyGroup(repo, it, cutoff, epoch, keepParsed)
       }
       .cache()
     try {
