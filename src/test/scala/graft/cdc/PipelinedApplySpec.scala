@@ -184,6 +184,34 @@ class PipelinedApplySpec extends SparkSpec {
     }
   }
 
+  test("batch-boundary invariance: random epoch splits converge to identical tables") {
+    // the same event stream chopped at ARBITRARY points must produce the
+    // same final transfers/state regardless of how many epochs carried it —
+    // the engine-level generalization of the fold's order/redelivery
+    // idempotence properties (IdempotenceProps)
+    val ordered = log.orderBy("offset").collect().toSeq
+    val ref = new CdcEngine(tmpDir("split-ref"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    ref.applyEpoch(spark, ordered.toDS(), 0L) // everything in ONE epoch
+    val want = shaMap(ref.currentTransfers(spark))
+
+    Seq(7L, 99L).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val k = 2 + rng.nextInt(4) // 2..5 epochs
+      val cuts = Seq.fill(k - 1)(rng.nextInt(ordered.size)).sorted :+ ordered.size
+      val eng = new CdcEngine(tmpDir(s"split-$seed"), numBuckets = 8,
+        cutoffMicros = 14 * day)
+      var from = 0
+      cuts.zipWithIndex.foreach { case (to, i) =>
+        eng.applyEpoch(spark, ordered.slice(from, to).toDS(), i.toLong)
+        from = to
+      }
+      assert(shaMap(eng.currentTransfers(spark)) == want,
+        s"seed=$seed split=$cuts must equal the single-epoch run")
+      assert(stateMap(eng) == stateMap(ref), s"seed=$seed state must match")
+    }
+  }
+
   test("applyEpochs rejects out-of-order epoch ids") {
     val eng = new CdcEngine(tmpDir("pipe-order"), numBuckets = 4,
       cutoffMicros = 14 * day)
