@@ -235,12 +235,6 @@ object CdcPipeline {
     }
     if (byCommit.isEmpty) return Iterator.empty
     val deduped = byCommit.values.toArray
-    // parse-or-reuse ONCE per deduped event, keeping the copy-to-message
-    // pairing so fresh emissions persist their parsed form
-    val withMsg: Array[(ApplyEvent, SpineMessage)] = deduped.map { e =>
-      e -> (if (e.parsed != null) e.parsed else MessageParser.parse(e.content))
-    }
-    val fresh = withMsg.filter(_._1.epoch == currentEpoch)
     // Emit-on-change: no event of THIS epoch survived dedup ⇒ the session's
     // input set — and therefore its classification — is exactly what the
     // table already committed. Emitting it anyway (which the fold-everything
@@ -251,7 +245,15 @@ object CdcPipeline {
     // O(changed sessions). Counter-only drift (duplicatesDropped from a
     // redelivered copy) is deliberately not re-committed — counters are
     // diagnostics, excluded from row_sha256 for the same reason.
-    if (fresh.isEmpty) return Iterator.empty
+    // This check runs BEFORE any parse: a pure-redelivery session exits
+    // without re-parsing its whole history.
+    if (!deduped.exists(_.epoch == currentEpoch)) return Iterator.empty
+    // parse-or-reuse ONCE per deduped event, keeping the copy-to-message
+    // pairing so fresh emissions persist their parsed form
+    val withMsg: Array[(ApplyEvent, SpineMessage)] = deduped.map { e =>
+      e -> (if (e.parsed != null) e.parsed else MessageParser.parse(e.content))
+    }
+    val fresh = withMsg.filter(_._1.epoch == currentEpoch)
     // same deterministic (tsMicros, offset) total order as classifyGroup
     java.util.Arrays.sort(withMsg, new java.util.Comparator[(ApplyEvent, SpineMessage)] {
       override def compare(a: (ApplyEvent, SpineMessage),
@@ -395,6 +397,21 @@ final class CdcEngine(
   @volatile private var activeDimMonths: Option[Set[Int]] = dimMonths
   def currentDimMonths: Option[Set[Int]] = activeDimMonths
 
+  /** Memoized `state.bornWith("parsed")` — the birth schema is immutable
+    * once the first commit exists, so the per-epoch manifest listing +
+    * JSON parse it costs is paid at most once. Left un-cached while the
+    * warehouse is still empty (the answer can flip at the first commit).
+    */
+  @volatile private var stateBornWithParsedMemo: Option[Boolean] = None
+  private def stateBornWithParsed: Boolean = stateBornWithParsedMemo.getOrElse {
+    if (state.latestManifest().isEmpty) false
+    else {
+      val v = state.bornWith("parsed")
+      stateBornWithParsedMemo = Some(v)
+      v
+    }
+  }
+
   require(!strictDimMonths || dimMonths.isDefined,
     "strictDimMonths requires dimMonths — the engine can only fail fast on " +
       "months it knows are missing")
@@ -464,11 +481,28 @@ final class CdcEngine(
     }
     (Seq(transfers -> "transfers", state -> "state") ++
         enriched.map(_ -> "enriched")).foreach { case (tbl, name) =>
-      tbl.manifestAt(epoch).foreach { m =>
-        require(m.kind == "write",
-          s"epoch $epoch of $name is already a '${m.kind}' maintenance commit — " +
-            "ingest and maintenance epoch ids must be disjoint (aborting before " +
-            "any table commits)")
+      tbl.manifestAt(epoch) match {
+        case Some(m) =>
+          require(m.kind == "write",
+            s"epoch $epoch of $name is already a '${m.kind}' maintenance commit — " +
+              "ingest and maintenance epoch ids must be disjoint (aborting before " +
+              "any table commits)")
+        case None =>
+          // Head-ordering pre-flight: a commit future would throw its
+          // "not after parent" require only AFTER sibling futures may have
+          // committed — e.g. a dim-update parked at a high id on the
+          // enriched chain would let every later source-numbered ingest
+          // epoch commit state+transfers, then fail enriched, with NO heal
+          // (same id: still below head; new id: fresh comes back empty and
+          // the rows are never written). Abort side-effect-free instead:
+          // a table with no manifest at this epoch must be able to APPEND
+          // it, i.e. its head must be below the id.
+          tbl.latestManifest().foreach { h =>
+            require(h.epoch < epoch,
+              s"epoch $epoch of $name is below the chain head ${h.epoch} — " +
+                "ingest epoch ids must stay above every table's head " +
+                "(aborting before any table commits)")
+          }
       }
     }
     None
@@ -536,7 +570,11 @@ final class CdcEngine(
             // overlaps with the in-flight commit — the whole point
             val f = foldEpoch(spark, batch, epoch, stateAsOf = asOf,
               pendingFresh = pending)
-            flush() // previous commits become durable before ours launch
+            // previous commits become durable before ours launch; if THEY
+            // failed, release this epoch's just-materialized cache too (it
+            // is not in inFlight yet, so the outer finally can't see it)
+            try flush()
+            catch { case t: Throwable => f.out.unpersist(); throw t }
             headBefore = state.latestManifest().map(_.epoch).getOrElse(-1L)
             inFlight = Some((f, Future { commitEpoch(spark, f) }))
         }
@@ -651,11 +689,11 @@ final class CdcEngine(
     // a warehouse born with stored parses must keep writing them — a
     // flag-off engine would append parsed=null rows and a later parsed-path
     // read would find neither payload form
-    require(storeParsedState || !state.bornWith("parsed"),
+    require(storeParsedState || !stateBornWithParsed,
       "state table was created with storeParsedState=true — the flag must " +
         "stay on for this warehouse")
     val snapshotHasParsed = storeParsedState &&
-      priorSnapshot.columns.contains("parsed") && state.bornWith("parsed")
+      priorSnapshot.columns.contains("parsed") && stateBornWithParsed
     val priorRaw: Option[DataFrame] =
       ((if (priorSnapshot.columns.isEmpty) None
         else Some(asApplyRows(priorSnapshot, snapshotHasParsed))).toSeq ++
@@ -926,25 +964,49 @@ final class CdcEngine(
     import spark.implicits._
     val base = activeDim.get
     val delta = dimDelta.select(base.columns.map(col).toIndexedSeq: _*)
-    activeDim = Some(base
-      .join(delta.select("asid", "yearMonth").distinct(), Seq("asid", "yearMonth"), "left_anti")
-      .unionByName(delta))
-    // the delta's months now HAVE snapshots — extend the strict/lineage
-    // coverage declaration so a strictDimMonths abort heals by refreshing
-    // the dim and retrying the same ingest epoch id
-    val yms = delta.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
-    activeDimMonths = activeDimMonths.map(_ ++ yms)
 
-    // idempotent replay: the write is skip-if-present (with a loud kind
-    // check); the active-dim fold above already happened
-    tbl.manifestAt(epoch) match {
+    // VALIDATE the epoch id before ANY state mutates — an abort must leave
+    // the engine exactly as it was (no half-applied active dim whose new
+    // rows would enrich future epochs while committed rows were never
+    // retro-corrected, and no months added to the strict coverage for
+    // snapshots that never landed)
+    val existing = tbl.manifestAt(epoch)
+    existing.foreach { m =>
+      require(m.kind == "dim-update",
+        s"epoch $epoch of enriched is already a '${m.kind}' commit — " +
+          "dim-update epoch ids must be disjoint from ingest/maintenance ids")
+    }
+    if (existing.isEmpty)
+      tbl.latestManifest().foreach { h =>
+        require(h.epoch < epoch,
+          s"dim-update epoch $epoch is below the enriched chain head ${h.epoch} — " +
+            "epoch ids must stay monotonic per table (aborting before any change)")
+      }
+
+    def foldIntoActive(): Unit = {
+      activeDim = Some(base
+        .join(delta.select("asid", "yearMonth").distinct(),
+          Seq("asid", "yearMonth"), "left_anti")
+        .unionByName(delta))
+      // the delta's months now HAVE snapshots — extend the strict/lineage
+      // coverage declaration so a strictDimMonths abort heals by refreshing
+      // the dim and retrying the same ingest epoch id
+      val ms = delta.select(col("yearMonth").cast("int")).distinct()
+        .as[Int].collect().toSet
+      activeDimMonths = activeDimMonths.map(_ ++ ms)
+    }
+
+    // idempotent replay: the write is skip-if-present; the active-dim fold
+    // still happens (process state is rebuilt on every replay)
+    existing match {
       case Some(m) =>
-        require(m.kind == "dim-update",
-          s"epoch $epoch of enriched is already a '${m.kind}' commit — " +
-            "dim-update epoch ids must be disjoint from ingest/maintenance ids")
+        foldIntoActive()
         return m.lineage.getOrElse("reEnriched", 0L)
       case None => ()
     }
+    foldIntoActive()
+    val yms = delta.select(col("yearMonth").cast("int")).distinct()
+      .as[Int].collect().toSet
 
     // the dim is broadcast-small by contract, so its delta's key sets are
     // bounded driver-side collects

@@ -102,6 +102,17 @@ object Enrichment {
       .select("asid", "odsCode", "name", "sicblOdsCode", "sicblName", "yearMonth")
   }
 
+  /** Load a dim from a front-door path spec: comma-separated monthly
+    * `organisationMetadata.json` files (the reference's native format) when
+    * every path ends in .json, else a parquet read. Shared by both job
+    * front doors so the format rules can't diverge.
+    */
+  def loadDim(spark: SparkSession, pathSpec: String): DataFrame = {
+    val paths = pathSpec.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (paths.nonEmpty && paths.forall(_.endsWith(".json"))) readOdsJson(spark, paths)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Expand the dim to one EFFECTIVE row per (asid, query month): the query
     * month's snapshot, falling back EXACTLY ONE month — the reference falls
     * back a single month and raises if that is also missing

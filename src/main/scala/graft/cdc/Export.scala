@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** S7: daily-partitioned columnar output — the reference writes one parquet
   * per day in a driver loop (`spine_runner.py:28-54`, paths
@@ -41,10 +42,31 @@ object Export {
         .as[String].collect().sorted
       days.map { d =>
         val path = UriResolver.gp2gpTransfers(base, java.time.LocalDate.parse(d), cutoffDays)
+        // the reference writes ONE parquet OBJECT at this exact path — a
+        // Spark directory write (part files + _SUCCESS) would break
+        // single-object consumers (pandas/pyarrow GET on the key), so the
+        // single part file is moved onto the literal path
+        val tmp = path + ".spark-tmp"
         withD.filter(col("date_requested_day") === d)
           .drop("date_requested_day")
-          .coalesce(1) // the reference writes ONE parquet per day
-          .write.mode("overwrite").parquet(path)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val tmpDir = java.nio.file.Paths.get(tmp)
+        val part = {
+          val s = java.nio.file.Files.list(tmpDir)
+          try s.iterator()
+            .asScala.find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+          finally s.close()
+        }
+        val target = java.nio.file.Paths.get(path)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.move(part, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val walk = java.nio.file.Files.walk(tmpDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
         d -> path
       }.toMap
     } finally withD.unpersist()

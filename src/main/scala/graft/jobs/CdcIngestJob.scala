@@ -47,11 +47,7 @@ object CdcIngestJob {
     val warehouse = required("GRAFT_WAREHOUSE")
     val buckets = env.get("GRAFT_BUCKETS").map(_.toInt).getOrElse(32)
     val cutoffDays = env.get("GRAFT_CUTOFF_DAYS").map(_.toInt).getOrElse(14)
-    val dim = env.get("GRAFT_DIM_PATH").map { p =>
-      val paths = p.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-      if (paths.forall(_.endsWith(".json"))) Enrichment.readOdsJson(spark, paths)
-      else spark.read.parquet(paths: _*)
-    }
+    val dim = env.get("GRAFT_DIM_PATH").map(Enrichment.loadDim(spark, _))
     val dimMonths = dim.map(d => d.select("yearMonth").distinct()
       .as[Int].collect().toSet)
     val strict = env.get("GRAFT_STRICT_ODS").contains("true")

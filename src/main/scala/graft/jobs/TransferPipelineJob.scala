@@ -95,11 +95,8 @@ object TransferPipelineJob {
       case Some(p) =>
         // the reference's native dim format is monthly organisationMetadata
         // JSON (comma-separated month files); parquet stays the lake-native
-        // alternative
-        val paths = p.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-        val dim =
-          if (paths.forall(_.endsWith(".json"))) Enrichment.readOdsJson(spark, paths)
-          else spark.read.parquet(paths: _*)
+        // alternative (shared rules: Enrichment.loadDim)
+        val dim = Enrichment.loadDim(spark, p)
         // the reference RAISES when a window month and its previous month
         // both lack a dim snapshot (organisation_metadata_monthly.py:26-34);
         // GRAFT_STRICT_ODS reproduces the raise, the default surfaces the

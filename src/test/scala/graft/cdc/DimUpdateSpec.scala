@@ -148,6 +148,46 @@ class DimUpdateSpec extends SparkSpec {
     }
   }
 
+  test("ingest below a high-parked dim-update id aborts with NOTHING committed") {
+    // the round-4 review finding: a dim-update parked at a HIGH id on the
+    // enriched chain (with transfers non-empty, so a manifest really lands)
+    // must not let a later, lower-numbered ingest epoch half-commit
+    // state+transfers and then fail the enriched future — that divergence
+    // is unhealable. The head-ordering pre-flight aborts side-effect-free.
+    val eng = new CdcEngine(tmpDir("dimpark"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    val n = eng.applyDimUpdate(spark, delta, epoch = 1000L)
+    assert(n > 0, "the parked update must really commit a manifest")
+
+    intercept[IllegalArgumentException] {
+      eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L) // below head 1000
+    }
+    assert(eng.state.manifestAt(1L).isEmpty && eng.transfers.manifestAt(1L).isEmpty,
+      "no chain may advance on the abort")
+
+    // and a dim update below its own chain head is rejected the same way
+    intercept[IllegalArgumentException] {
+      eng.applyDimUpdate(spark, delta, epoch = 500L)
+    }
+  }
+
+  test("an aborted dim update leaves the active dim and months untouched") {
+    val eng = new CdcEngine(tmpDir("dimabort"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim),
+      dimMonths = Some(baseMonths.toSet))
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    val monthsBefore = eng.currentDimMonths
+    val dimBefore = eng.currentDim.get
+    intercept[IllegalArgumentException] {
+      eng.applyDimUpdate(spark, delta, epoch = 0L) // collides with ingest id
+    }
+    assert(eng.currentDimMonths == monthsBefore,
+      "strict coverage must not gain months from an aborted update")
+    assert(eng.currentDim.get eq dimBefore,
+      "the active dim must be the exact pre-abort instance")
+  }
+
   test("strictDimMonths aborts side-effect-free and heals via dim refresh") {
     // January 2020 transfers: month 202001, previous 201912 — declare
     // NEITHER so every classified transfer is a missing-dim row

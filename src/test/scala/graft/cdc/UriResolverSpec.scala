@@ -40,14 +40,10 @@ class UriResolverSpec extends SparkSpec {
       s"$base/v11/cutoff-14/2020/01/02/2020-01-02-transfers.parquet")
     val day2 = spark.read.parquet(written("2020-01-02"))
     assert(day2.count() == 2 && !day2.columns.contains("date_requested_day"))
-    // one parquet data file per day, like the reference's single write
-    val dataFiles = java.nio.file.Files.list(
-        java.nio.file.Paths.get(written("2020-01-03"))).iterator()
-    var parquetFiles = 0
-    while (dataFiles.hasNext) {
-      if (dataFiles.next().getFileName.toString.endsWith(".parquet")) parquetFiles += 1
-    }
-    assert(parquetFiles == 1)
+    // ONE parquet FILE OBJECT at the literal path (not a Spark directory) —
+    // single-object consumers of the reference layout do a plain GET
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(written("2020-01-03"))))
     assert(spark.read.parquet(written("2020-01-03")).count() == 1)
   }
 }
