@@ -552,7 +552,7 @@ final class CdcEngine(
     require(batches.map(_._1) == batches.map(_._1).sorted.distinct,
       "applyEpochs requires strictly increasing epoch ids")
     var last: Option[Manifest] = None
-    var inFlight: Option[(FoldResult, Future[Manifest])] = None
+    var inFlight: Option[(CdcEngine.FoldResult, Future[Manifest])] = None
     var headBefore = -1L // state head BEFORE the in-flight commit
     def flush(): Unit = inFlight.foreach { case (pf, fut) =>
       try last = Some(Await.result(fut, Duration.Inf))
@@ -592,29 +592,6 @@ final class CdcEngine(
     }
   }
 
-  /** Everything a committed epoch needs, computed by `foldEpoch` BEFORE any
-    * sink is touched: the cached fold output, the per-sink frames, the
-    * shared summary stats and the manifest metadata/lineage. Splitting the
-    * epoch at this seam (compute | commit I/O) is what lets `applyEpochs`
-    * overlap epoch e's commits with epoch e+1's fold.
-    */
-  private final case class FoldResult(
-      epoch: Long,
-      out: Dataset[CdcPipeline.ApplyOut],
-      upserts: DataFrame,
-      freshEvents: DataFrame,
-      touched: Set[Int],
-      eventStats: Map[Int, graft.lake.BucketStats],
-      transferStats: Map[Int, graft.lake.BucketStats],
-      meta: Map[String, String],
-      lineage: Map[String, Long],
-      tLineage: Map[String, Long],
-      /** Distinct request months of this epoch's transfers (from the one
-        * summary job) — feeds the enriched commit's as-of dim expansion.
-        */
-      months: Seq[Int],
-  )
-
   /** The epoch's COMPUTE phase: batch stats, prior-state assembly, the fused
     * sessionize/classify fold (cached + materialized by the summary job),
     * and the shared epoch summary. No table is written.
@@ -631,7 +608,7 @@ final class CdcEngine(
     */
   private def foldEpoch(spark: SparkSession, rawEvents: Dataset[ChangeEvent],
                         epoch: Long, stateAsOf: Long,
-                        pendingFresh: Option[FoldResult]): FoldResult = {
+                        pendingFresh: Option[CdcEngine.FoldResult]): CdcEngine.FoldResult = {
     import spark.implicits._
     // Re-stamp the batch with THIS epoch. Freshness (which events the fold
     // persists to the durable state table) must mean "first applied in this
@@ -849,7 +826,7 @@ final class CdcEngine(
       // in-commit count if not
       val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
 
-      FoldResult(epoch, out, upserts, freshEvents, touched, eventStats,
+      CdcEngine.FoldResult(epoch, out, upserts, freshEvents, touched, eventStats,
         transferStats, meta, lineage, tLineage, months)
     } catch {
       case t: Throwable =>
@@ -867,7 +844,7 @@ final class CdcEngine(
     * skip-if-present and the fold is deterministic, so the lagging side
     * recomputes identically (asserted both ways in CdcEngineSpec).
     */
-  private def commitEpoch(spark: SparkSession, f: FoldResult): Manifest = {
+  private def commitEpoch(spark: SparkSession, f: CdcEngine.FoldResult): Manifest = {
     val epoch = f.epoch
     def desc(d: String): Unit =
       spark.sparkContext.setJobDescription(s"cdc epoch $epoch: $d")
@@ -1078,6 +1055,30 @@ final class CdcEngine(
 }
 
 object CdcEngine {
+  /** Everything a committed epoch needs, computed by `foldEpoch` BEFORE any
+    * sink is touched: the cached fold output, the per-sink frames, the
+    * shared summary stats and the manifest metadata/lineage. Splitting the
+    * epoch at this seam (compute | commit I/O) is what lets `applyEpochs`
+    * overlap epoch e's commits with epoch e+1's fold. (Companion-scoped:
+    * an inner case class would capture the engine's outer reference.)
+    */
+  private[cdc] final case class FoldResult(
+      epoch: Long,
+      out: Dataset[CdcPipeline.ApplyOut],
+      upserts: DataFrame,
+      freshEvents: DataFrame,
+      touched: Set[Int],
+      eventStats: Map[Int, graft.lake.BucketStats],
+      transferStats: Map[Int, graft.lake.BucketStats],
+      meta: Map[String, String],
+      lineage: Map[String, Long],
+      tLineage: Map[String, Long],
+      /** Distinct request months of this epoch's transfers (from the one
+        * summary job) — feeds the enriched commit's as-of dim expansion.
+        */
+      months: Seq[Int],
+  )
+
   /** The reference's datetime-string rendering for commit metadata: ISO with
     * an explicit "+00:00" offset (python isoformat of a UTC-aware datetime,
     * `utils/date_converter.py`).
