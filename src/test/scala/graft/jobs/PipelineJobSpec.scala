@@ -34,6 +34,13 @@ class PipelineJobSpec extends SparkSpec {
       PipelineConfig.fromEnv(Map.empty, today) // GRAFT_INPUT missing
     }
 
+    // cutoff 0 is VALID and means "no cutoff filtering"
+    // (test_config_environment_variables.py:85-109 + transfer_service.py:158-161)
+    val zero = PipelineConfig.fromEnv(Map("GRAFT_CUTOFF_DAYS" -> "0",
+      "GRAFT_INPUT" -> "/in", "GRAFT_OUTPUT" -> "/out"), today)
+    assert(zero.window.cutoffDays == 0 && zero.window.cutoffMicros == 0L)
+    assert(zero.window.overflowDays.isEmpty)
+
     // GRAFT_INPUT_BASE: day files resolved from the window through the
     // reference's v3 URI scheme, window days PLUS overflow (cutoff) days
     val resolved = PipelineConfig.fromEnv(Map(
