@@ -821,10 +821,6 @@ final class CdcEngine(
         "negativeSla" -> total(5), "duplicatesDropped" -> total(6)) ++
         // only when the caller declared its dim coverage (see dimMonths)
         activeDimMonths.map(_ => "missingDimMonthTransfers" -> total(7))
-      // the shared summary assumed both tables bucket identically (they do
-      // unless someone rebuckets one table out-of-band) — fall back to the
-      // in-commit count if not
-      val sameBucketing = transfers.currentNumBuckets == state.currentNumBuckets
 
       CdcEngine.FoldResult(epoch, out, upserts, freshEvents, touched, eventStats,
         transferStats, meta, lineage, tLineage, months)
@@ -1081,9 +1077,15 @@ object CdcEngine {
 
   /** The reference's datetime-string rendering for commit metadata: ISO with
     * an explicit "+00:00" offset (python isoformat of a UTC-aware datetime,
-    * `utils/date_converter.py`).
+    * `utils/date_converter.py`). Python `isoformat()` renders a fractional
+    * part only when microseconds are nonzero — reproduced here so a
+    * non-midnight-aligned reporting window stamps identically.
     */
-  def isoUtc(micros: Long): String =
-    java.time.LocalDateTime.ofEpochSecond(micros / 1000000L, 0, java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "+00:00"
+  def isoUtc(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val base = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    (if (frac == 0L) base else base + f".$frac%06d") + "+00:00"
+  }
 }

@@ -2,7 +2,6 @@ package graft.cdc
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** S7: daily-partitioned columnar output — the reference writes one parquet
   * per day in a driver loop (`spine_runner.py:28-54`, paths
@@ -35,7 +34,9 @@ object Export {
     */
   def exportDailyReferenceLayout(transfers: DataFrame, base: String,
                                  cutoffDays: Int): Map[String, String] = {
-    import transfers.sparkSession.implicits._
+    val spark = transfers.sparkSession
+    import spark.implicits._
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val withD = withDay(transfers).cache()
     try {
       val days = withD.select("date_requested_day").distinct()
@@ -45,28 +46,26 @@ object Export {
         // the reference writes ONE parquet OBJECT at this exact path — a
         // Spark directory write (part files + _SUCCESS) would break
         // single-object consumers (pandas/pyarrow GET on the key), so the
-        // single part file is moved onto the literal path
+        // single part file is moved onto the literal path. The relocation
+        // goes through the Hadoop FileSystem API, so the layout works on
+        // whatever store `base` names (the layout's native habitat is an
+        // object store, `s3_uri_resolver.py`), not just local paths.
         val tmp = path + ".spark-tmp"
         withD.filter(col("date_requested_day") === d)
           .drop("date_requested_day")
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp)
-        val tmpDir = java.nio.file.Paths.get(tmp)
-        val part = {
-          val s = java.nio.file.Files.list(tmpDir)
-          try s.iterator()
-            .asScala.find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-          finally s.close()
-        }
-        val target = java.nio.file.Paths.get(path)
-        java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.move(part, target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val walk = java.nio.file.Files.walk(tmpDir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
+        val tmpDir = new org.apache.hadoop.fs.Path(tmp)
+        val fs = tmpDir.getFileSystem(hadoopConf)
+        val part = fs.listStatus(tmpDir).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val target = new org.apache.hadoop.fs.Path(path)
+        fs.mkdirs(target.getParent)
+        fs.delete(target, false) // rename-onto-existing is not portable
+        if (!fs.rename(part, target))
+          throw new IllegalStateException(s"rename $part -> $target failed")
+        fs.delete(tmpDir, true)
         d -> path
       }.toMap
     } finally withD.unpersist()

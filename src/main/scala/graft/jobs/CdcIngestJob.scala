@@ -51,9 +51,15 @@ object CdcIngestJob {
     val dimMonths = dim.map(d => d.select("yearMonth").distinct()
       .as[Int].collect().toSet)
     val strict = env.get("GRAFT_STRICT_ODS").contains("true")
+    // a strict flag without a dim is a misconfiguration, not a mode: the
+    // engine itself rejects strict-without-months, so silently running
+    // non-strict here would disable the caller's fail-fast with no signal
+    require(!strict || dim.isDefined,
+      "GRAFT_STRICT_ODS=true requires GRAFT_DIM_PATH — strict mode can only " +
+        "fail fast on months a declared dim is missing")
     val eng = new CdcEngine(warehouse, numBuckets = buckets,
       cutoffMicros = cutoffDays * 24L * 3600 * 1000000L,
-      dim = dim, dimMonths = dimMonths, strictDimMonths = strict && dim.isDefined)
+      dim = dim, dimMonths = dimMonths, strictDimMonths = strict)
 
     val log = ChangeLogSource.readCsv(spark, inputs: _*).cache()
     try {

@@ -49,8 +49,12 @@ object ConversationVisualiser {
 
   def format(messagesIn: Seq[SpineMessage], minimal: Boolean = false,
              sortMessages: Boolean = true): String = {
+    // the reference sorts by SECOND-truncated timestamps (RowMessage splits
+    // off the fractional part before fromisoformat, visualiser.py:30-36), so
+    // same-second messages keep their input order — sortBy is stable, so
+    // truncating here reproduces that tie-break exactly
     val messages =
-      if (sortMessages) messagesIn.sortBy(_.timeMicros) else messagesIn
+      if (sortMessages) messagesIn.sortBy(_.timeMicros / 1000000L) else messagesIn
     val first = messages.head
     if (first.interactionId != Interactions.EhrRequestStarted)
       throw new IllegalArgumentException("First message was not a GP2GP request")

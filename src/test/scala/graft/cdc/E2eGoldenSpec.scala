@@ -158,6 +158,16 @@ class E2eGoldenSpec extends SparkSpec {
     assert(mm.lineage.get("missingDimMonthTransfers").exists(_ >= 3L),
       s"${mm.lineage}")
   }
+
+  test("isoUtc matches python isoformat() including fractional seconds") {
+    // python renders the microsecond part only when nonzero — a
+    // non-midnight-aligned window must stamp identically to the reference
+    assert(CdcEngine.isoUtc(1575244800000000L) == "2019-12-02T00:00:00+00:00")
+    assert(CdcEngine.isoUtc(1575244800123456L) ==
+      "2019-12-02T00:00:00.123456+00:00")
+    assert(CdcEngine.isoUtc(1575244800000001L) ==
+      "2019-12-02T00:00:00.000001+00:00")
+  }
 }
 
 /** Writes the fixture through the gzip-CSV sink so the test exercises the

@@ -57,6 +57,16 @@ class CdcIngestJobSpec extends SparkSpec {
       cutoffMicros = 14 * day)) == want)
   }
 
+  test("GRAFT_STRICT_ODS without GRAFT_DIM_PATH fails fast, not silently non-strict") {
+    val ex = intercept[IllegalArgumentException] {
+      CdcIngestJob.run(spark, Map(
+        "GRAFT_CDC_INPUT" -> tmpDir("strict-nodim-log"),
+        "GRAFT_WAREHOUSE" -> (tmpDir("strict-nodim-wh") + "/w"),
+        "GRAFT_STRICT_ODS" -> "true"))
+    }
+    assert(ex.getMessage.contains("GRAFT_DIM_PATH"))
+  }
+
   test("ingest job with a dim maintains the enriched table") {
     val logDir = tmpDir("ingest-log-dim")
     val wh = tmpDir("ingest-wh-dim") + "/w"

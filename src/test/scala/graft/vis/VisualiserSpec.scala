@@ -43,6 +43,19 @@ class VisualiserSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("same-second messages keep input order (reference sorts second-truncated)") {
+    // the reference's RowMessage splits off the fractional second before
+    // fromisoformat, so its sort key is second-truncated and same-second
+    // messages keep CSV order. A full-micros sort would put this ack
+    // (xx.1s) before its request (xx.9s) and reject the conversation.
+    val msgs = Scenarios.requestAcknowledgedSuccessfully
+    val base = msgs(0).timeMicros
+    val req = msgs(0).copy(timeMicros = base + 900000L)
+    val ack = msgs(1).copy(timeMicros = base + 100000L)
+    val out = ConversationVisualiser.format(Vector(req, ack), minimal = true)
+    assert(out.indexOf("GP2GP request -") < out.indexOf("Acknowledgement of"))
+  }
+
   test("rejects a conversation not starting with a request (reference raise)") {
     intercept[IllegalArgumentException] {
       ConversationVisualiser.format(
