@@ -383,6 +383,21 @@ final class CdcEngine(
       * (PipelinedApplySpec parity test).
       */
     val storeParsedState: Boolean = false,
+    /** Max live files per bucket before a commit compacts that bucket —
+      * passed through to every engine-owned table (see
+      * `LakeTable.compactThreshold`). Raise it together with
+      * `changeRetention` when slow `changesSince` consumers need more
+      * intermediate versions kept readable.
+      */
+    val compactThreshold: Int = 8,
+    /** Change-stream retention horizon in epochs for every engine-owned
+      * table: compaction leaves files added within the last
+      * `changeRetention` epochs untouched, so a downstream `changesSince`
+      * consumer (e.g. the incremental daily exporter) lagging by at most
+      * this many epochs still sees every intermediate row version instead
+      * of only the compacted winners. 0 = compact everything eligible.
+      */
+    val changeRetention: Int = 0,
 ) {
   /** The dim in force for subsequent epoch enrichment — starts as the
     * constructor `dim`, replaced by `applyDimUpdate`.
@@ -417,16 +432,19 @@ final class CdcEngine(
       "months it knows are missing")
 
   val state = new LakeTable(s"$warehouse/state", numBuckets,
-    keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"))
+    keyColumns = Seq("repo", "commit"), bucketColumns = Seq("repo"),
+    compactThreshold = compactThreshold, changeRetention = changeRetention)
   // merge-on-read: per-epoch deltas + read-time last-writer-wins + bounded
   // compaction — a hot bucket touched every epoch costs O(its upserts), not
   // O(the whole bucket rewritten) (the COW write-amplification fix)
   val transfers = new LakeTable(s"$warehouse/transfers", numBuckets,
-    keyColumns = Seq("repo"), mergeOnRead = morTransfers)
+    keyColumns = Seq("repo"), mergeOnRead = morTransfers,
+    compactThreshold = compactThreshold, changeRetention = changeRetention)
   /** The enriched-output table — only when a `dim` is supplied. */
   val enriched: Option[LakeTable] = dim.map(_ =>
     new LakeTable(s"$warehouse/enriched", numBuckets,
-      keyColumns = Seq("repo"), mergeOnRead = morTransfers))
+      keyColumns = Seq("repo"), mergeOnRead = morTransfers,
+      compactThreshold = compactThreshold, changeRetention = changeRetention))
 
   /** Apply one epoch of change events. Returns the transfers-table manifest.
     *

@@ -393,4 +393,39 @@ class CdcEngineSpec extends SparkSpec {
     assert(st.count() == 1)
     assert(st.select("offset").as[Long].collect().head == 5L)
   }
+
+  test("changeRetention via the engine keeps lagging change-consumers' versions") {
+    // one session gains one event per epoch → one new transfers version per
+    // epoch; a changesSince consumer lagging the whole run must still see
+    // every intermediate version when the engine declares a retention
+    // horizon, and only the surviving winners when it doesn't
+    val t0 = 1577836800000000L
+    val minute = 60L * 1000000L
+    def msg(i: Long, interaction: String) = MessageParser.format(
+      graft.classifier.SpineMessage(t0 + i * minute, "r1", s"c$i",
+        interaction, "a", "b", None, None, None, None))
+    def ev(i: Long): ChangeEvent = ChangeEvent("r1", "p", s"c$i", "scala",
+      msg(i, if (i == 0) graft.classifier.Interactions.EhrRequestStarted
+             else graft.classifier.Interactions.CommonPointToPoint),
+      offset = i, op = "insert", tsMicros = t0 + i * minute, epoch = i)
+    def run(dir: String, retention: Int): CdcEngine = {
+      val eng = new CdcEngine(dir, numBuckets = 2, cutoffMicros = 0L,
+        compactThreshold = 2, changeRetention = retention)
+      (0L until 10L).foreach(e => eng.applyEpoch(spark, Seq(ev(e)).toDS(), e))
+      eng
+    }
+    val kept = run(tmpDir("eng-ret"), retention = 16)
+    val versions = kept.transfers.changesSince(spark, sinceEpoch = -1L)
+      .select("eventCount").as[Long].collect().sorted.toSeq
+    assert(versions == (1L to 10L).toSeq,
+      s"every intermediate version must survive, got $versions")
+    val truncated = run(tmpDir("eng-noret"), retention = 0)
+    val v2 = truncated.transfers.changesSince(spark, sinceEpoch = -1L)
+      .select("eventCount").as[Long].collect().sorted.toSeq
+    assert(v2.length < 10 && v2.contains(10L),
+      s"without retention compaction truncates to survivors, got $v2")
+    // both engines resolve to the same final snapshot regardless
+    assert(shaMap(kept.currentTransfers(spark)) ==
+      shaMap(truncated.currentTransfers(spark)))
+  }
 }
