@@ -355,9 +355,11 @@ final class CdcEngine(
       * read. The dim seeds the engine; a later snapshot refresh (the
       * reference reloads metadata per run, `transfer_classifier.py:171-193`,
       * so a monthly ODS refresh there retroactively affects the next run's
-      * output) is applied CDC-natively via `applyDimUpdate`: the delta
-      * replaces the active dim for subsequent epochs AND re-enriches only
-      * the already-committed rows the changed (asid, month) keys touch.
+      * output) is applied CDC-natively via `applyDimUpdate`: the delta is
+      * committed durably to the engine's `dimlog` chain, governs every
+      * subsequent epoch's enrichment, and its retro-correction of
+      * already-committed rows rides the next epoch's enriched commit
+      * (O(affected) only).
       */
     val dim: Option[DataFrame] = None,
     /** true ⇒ an epoch whose batch contains transfers with NO dim snapshot
@@ -399,18 +401,33 @@ final class CdcEngine(
       */
     val changeRetention: Int = 0,
 ) {
-  /** The dim in force for subsequent epoch enrichment — starts as the
-    * constructor `dim`, replaced by `applyDimUpdate`.
+  /** The dim in force for subsequent epoch enrichment — the constructor
+    * `dim` (seed) overlaid with every committed `applyDimUpdate` delta.
+    * Rebuilt from the durable `dimlog` chain on first use (see
+    * `ensureDimState`), so a restarted engine never silently enriches with
+    * a stale dim.
     */
   @volatile private var activeDim: Option[DataFrame] = dim
-  def currentDim: Option[DataFrame] = activeDim
+  def currentDim: Option[DataFrame] = { ensureDimState(); activeDim }
 
   /** Months with a dim snapshot, as currently known — the constructor
-    * declaration extended by every `applyDimUpdate` delta, so a strict-mode
-    * abort heals by refreshing the dim and retrying the same epoch id.
+    * declaration extended by every `applyDimUpdate` delta (in-session or
+    * rebuilt from the dimlog), so a strict-mode abort heals by refreshing
+    * the dim and retrying the same epoch id.
     */
   @volatile private var activeDimMonths: Option[Set[Int]] = dimMonths
-  def currentDimMonths: Option[Set[Int]] = activeDimMonths
+  def currentDimMonths: Option[Set[Int]] = { ensureDimState(); activeDimMonths }
+
+  /** Highest dim version folded into `activeDim` (-1 = seed only). Version
+    * ids are the dimlog's OWN monotonic number space, disjoint from ingest
+    * epoch ids by construction — the property that lets a strictDimMonths
+    * abort heal (refresh the dim, retry the SAME ingest epoch id) without
+    * the dim commit wedging the ingest chain's head ordering.
+    */
+  @volatile private var dimVersion: Long = -1L
+  def currentDimVersion: Long = { ensureDimState(); dimVersion }
+
+  @volatile private var dimInited: Boolean = false
 
   /** Memoized `state.bornWith("parsed")` — the birth schema is immutable
     * once the first commit exists, so the per-epoch manifest listing +
@@ -445,6 +462,45 @@ final class CdcEngine(
     new LakeTable(s"$warehouse/enriched", numBuckets,
       keyColumns = Seq("repo"), mergeOnRead = morTransfers,
       compactThreshold = compactThreshold, changeRetention = changeRetention))
+  /** The dim-update change log — its OWN manifest chain, so dim versions
+    * never share the ingest epoch number space. Each `applyDimUpdate`
+    * commits its delta ROWS here (merge-on-read on (asid, yearMonth)), so
+    * the active dim is durable: a restarted engine rebuilds
+    * seed ⊕ dimlog-snapshot from the chain alone, no caller replay of the
+    * dim feed needed. Broadcast-small by the same contract as `dim`.
+    */
+  val dimlog: Option[LakeTable] = dim.map(_ =>
+    new LakeTable(s"$warehouse/dimlog", numBuckets = 4,
+      keyColumns = Seq("asid", "yearMonth"), mergeOnRead = true))
+
+  /** Rebuild the in-memory dim state from the durable dimlog chain, once
+    * per engine instance: activeDim = seed ⊕ resolved dimlog snapshot
+    * (last-writer-wins per (asid, yearMonth) by version), months extended
+    * with the dimlog's, version = the chain head. Without this, operator
+    * error at restart would silently enrich future epochs with the stale
+    * seed (the round-4 "process state, not durable" gap).
+    */
+  private def ensureDimState(): Unit = synchronized {
+    if (dimInited) return
+    dimInited = true
+    dimlog.foreach { dl =>
+      dl.latestManifest().foreach { head =>
+        val spark = dim.get.sparkSession
+        import spark.implicits._
+        val snap = LakeTable.readSnapshot(dl, spark)
+          .select(dim.get.columns.map(col).toIndexedSeq: _*)
+        val folded = dim.get
+          .join(snap.select("asid", "yearMonth").distinct(),
+            Seq("asid", "yearMonth"), "left_anti")
+          .unionByName(snap)
+        activeDim = Some(CdcEngine.materializeDim(folded))
+        val ms = snap.select(col("yearMonth").cast("int")).distinct()
+          .as[Int].collect().toSet
+        activeDimMonths = activeDimMonths.map(_ ++ ms)
+        dimVersion = head.epoch
+      }
+    }
+  }
 
   /** Apply one epoch of change events. Returns the transfers-table manifest.
     *
@@ -483,8 +539,10 @@ final class CdcEngine(
     *
     * CONTRACT: the epoch id must determine the batch content (streaming
     * checkpoints own their batchId numbering — see StreamingIngest), and
-    * maintenance/rebucket/dim-update epochs share this number space, so
-    * ingest and maintenance ids must be disjoint.
+    * maintenance/rebucket/flush epochs share this number space, so ingest
+    * and maintenance ids must be disjoint. Dim-update VERSIONS do not —
+    * they live on the dimlog's own chain (see applyDimUpdate), which is
+    * what keeps a post-abort dim refresh from wedging dense ingest ids.
     */
   private def preflight(epoch: Long): Option[Manifest] = {
     (transfers.manifestAt(epoch), state.manifestAt(epoch),
@@ -628,6 +686,10 @@ final class CdcEngine(
                         epoch: Long, stateAsOf: Long,
                         pendingFresh: Option[CdcEngine.FoldResult]): CdcEngine.FoldResult = {
     import spark.implicits._
+    // rebuild the active dim/months from the durable dimlog before the
+    // first epoch of a restarted engine (no-op afterwards) — the strict
+    // gate and the enriched commit both read them
+    ensureDimState()
     // Re-stamp the batch with THIS epoch. Freshness (which events the fold
     // persists to the durable state table) must mean "first applied in this
     // epoch", not "stamped with this epoch by the source": a streaming
@@ -890,16 +952,45 @@ final class CdcEngine(
       Future {
         desc("enriched commit (mergeDelta)")
         // enrich ONLY the epoch's upserts (O(batch); two broadcast joins,
-        // no shuffle of the upsert side) — same rows per bucket as the
-        // transfers commit, so its precomputed stats apply when the
-        // bucketing matches
-        val sameB = tbl.currentNumBuckets == state.currentNumBuckets
-        tbl.mergeDelta(
-          Enrichment.enrich(f.upserts, activeDim.get, monthsHint = Some(f.months)),
-          epoch,
-          metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched),
-          precomputedStats = if (sameB) Some(f.transferStats) else None,
-          compactInline = inlineCompaction)
+        // no shuffle of the upsert side). Every enriched commit stamps the
+        // dim version it enriched with — the durable watermark that makes
+        // pending retro-corrections derivable after a restart.
+        val meta = f.meta + (CdcEngine.DimVersionKey -> dimVersion.toString)
+        val base = Enrichment.enrich(f.upserts, activeDim.get,
+          monthsHint = Some(f.months))
+        pendingReEnrich(spark, asOf = epoch - 1,
+            excludeRepos = Some(f.upserts.select("repo"))) match {
+          case None =>
+            // fast path (every epoch without a pending dim refresh): same
+            // rows per bucket as the transfers commit, so its precomputed
+            // stats apply when the bucketing matches
+            val sameB = tbl.currentNumBuckets == state.currentNumBuckets
+            tbl.mergeDelta(base, epoch,
+              metadata = meta, lineage = f.tLineage,
+              touchedBuckets = Some(f.touched),
+              precomputedStats = if (sameB) Some(f.transferStats) else None,
+              compactInline = inlineCompaction)
+          case Some(re) =>
+            // a dim refresh is pending: this commit ALSO carries the
+            // retro-correction of the committed rows the refresh affects
+            // (minus this epoch's own upserts — already freshly enriched),
+            // so stats/touched are recomputed by the commit
+            val c = re.cache() // shared by the count and the merge write
+            try {
+              val n = c.count()
+              if (n == 0) {
+                val sameB = tbl.currentNumBuckets == state.currentNumBuckets
+                tbl.mergeDelta(base, epoch,
+                  metadata = meta, lineage = f.tLineage + ("reEnriched" -> 0L),
+                  touchedBuckets = Some(f.touched),
+                  precomputedStats = if (sameB) Some(f.transferStats) else None,
+                  compactInline = inlineCompaction)
+              } else
+                tbl.mergeDelta(base.unionByName(c), epoch,
+                  metadata = meta, lineage = f.tLineage + ("reEnriched" -> n),
+                  compactInline = inlineCompaction)
+            } finally c.unpersist()
+        }
       }
     }
     Await.result(stateF, scala.concurrent.duration.Duration.Inf)
@@ -923,112 +1014,162 @@ final class CdcEngine(
   }
 
   /** Apply a dimension-snapshot delta (new or changed (asid, yearMonth)
-    * rows, `Enrichment.OrgDimRow` shape) as its own commit epoch:
+    * rows, `Enrichment.OrgDimRow` shape) as version `version` of the
+    * DURABLE dim change log:
     *
-    *  1. the delta is folded into the active dim (last-writer-wins on
-    *     (asid, yearMonth)), so every SUBSEQUENT `applyEpoch` enriches with
-    *     the refreshed metadata — the reference's per-run metadata reload
-    *     (`transfer_classifier.py:171-193`) made incremental;
-    *  2. ALREADY-COMMITTED enriched rows the delta can affect are
-    *     re-enriched and merge-upserted — and only those: a snapshot at
-    *     month m can change the as-of resolution only of transfers
-    *     requested in m or m+1 (the ONE-month fallback window) whose
-    *     requesting or sending asid is in the delta, so the transfers
-    *     snapshot is filtered to that (asid set × month set) superset
-    *     before any re-enrichment. The filter pushes to the parquet scan
-    *     (In predicates on two columns); the merge writes O(affected).
+    *  1. the delta ROWS are committed to the `dimlog` table — its own
+    *     manifest chain, so version ids never share the ingest epoch number
+    *     space. This is what lets a strictDimMonths abort heal: refresh the
+    *     dim at any version, then retry the SAME ingest epoch id (the
+    *     enriched chain's head never moved). It also makes the active dim
+    *     durable: a restarted engine rebuilds seed ⊕ dimlog from the chain
+    *     alone (`ensureDimState`), no caller replay of the dim feed;
+    *  2. the delta folds into the active dim (last-writer-wins on
+    *     (asid, yearMonth), materialized to bound plan depth), so every
+    *     subsequent epoch enriches with the refreshed metadata — the
+    *     reference's per-run metadata reload (`transfer_classifier.py:
+    *     171-193`) made incremental;
+    *  3. the retro-correction of ALREADY-committed enriched rows rides the
+    *     NEXT ingest epoch's enriched commit (or an explicit
+    *     `flushDimUpdates`): that commit re-enriches exactly the rows the
+    *     pending deltas can affect — a snapshot at month m changes the
+    *     as-of resolution only of transfers requested in m or m+1 (the
+    *     ONE-month fallback window) whose requesting or sending asid is in
+    *     the delta — and stamps its manifest with the dim version it
+    *     incorporates, which is what makes the pending set derivable after
+    *     a restart (`pendingReEnrich`).
     *
-    * The commit lands on the ENRICHED manifest chain only, with kind
-    * "dim-update" — its epoch id shares the per-table number space, so it
-    * must be disjoint from ingest ids (an ingest epoch reusing it aborts in
-    * applyEpoch's pre-flight, and vice versa via committedAs). Re-running an
-    * already-committed dim-update epoch re-applies step 1 (the active dim is
-    * process state, not durable — a restarted engine replays its dim-update
-    * feed) and skips the write, so replay from any checkpoint converges to
-    * identical table state.
-    *
-    * Returns the number of re-enriched rows.
+    * Replaying an already-committed version is a no-op returning the
+    * existing manifest (the active dim already includes it, in-session or
+    * via `ensureDimState`). Returns the dimlog manifest of `version`.
     */
-  def applyDimUpdate(spark: SparkSession, dimDelta: DataFrame, epoch: Long): Long = {
-    val tbl = enriched.getOrElse(throw new IllegalStateException(
+  def applyDimUpdate(spark: SparkSession, dimDelta: DataFrame, version: Long): Manifest = {
+    val dl = dimlog.getOrElse(throw new IllegalStateException(
       "engine was built without a dim — no enriched table to re-enrich"))
+    ensureDimState()
     import spark.implicits._
     val base = activeDim.get
     val delta = dimDelta.select(base.columns.map(col).toIndexedSeq: _*)
 
-    // VALIDATE the epoch id before ANY state mutates — an abort must leave
-    // the engine exactly as it was (no half-applied active dim whose new
-    // rows would enrich future epochs while committed rows were never
-    // retro-corrected, and no months added to the strict coverage for
-    // snapshots that never landed)
-    val existing = tbl.manifestAt(epoch)
-    existing.foreach { m =>
-      require(m.kind == "dim-update",
-        s"epoch $epoch of enriched is already a '${m.kind}' commit — " +
-          "dim-update epoch ids must be disjoint from ingest/maintenance ids")
+    // VALIDATE the version id before ANY state mutates — an abort must
+    // leave the engine exactly as it was
+    dl.manifestAt(version) match {
+      case Some(m) =>
+        require(m.kind == "dim-update",
+          s"version $version of the dimlog is already a '${m.kind}' commit")
+        return m
+      case None =>
+        dl.latestManifest().foreach { h =>
+          require(h.epoch < version,
+            s"dim version $version is below the dimlog head ${h.epoch} — " +
+              "versions must stay monotonic (aborting before any change)")
+        }
     }
-    if (existing.isEmpty)
-      tbl.latestManifest().foreach { h =>
-        require(h.epoch < epoch,
-          s"dim-update epoch $epoch is below the enriched chain head ${h.epoch} — " +
-            "epoch ids must stay monotonic per table (aborting before any change)")
-      }
-
-    def foldIntoActive(): Unit = {
-      activeDim = Some(base
-        .join(delta.select("asid", "yearMonth").distinct(),
-          Seq("asid", "yearMonth"), "left_anti")
-        .unionByName(delta))
+    val keyed = delta.cache()
+    try {
+      val n = keyed.count()
+      // one row per (asid, yearMonth) per delta: the mergeDelta contract —
+      // two versions of a key in ONE delta would resolve nondeterministically
+      require(keyed.select("asid", "yearMonth").distinct().count() == n,
+        "dim delta must carry one row per (asid, yearMonth)")
+      val m = dl.mergeDelta(keyed, version,
+        metadata = Map("dim-delta-rows" -> n.toString),
+        lineage = Map("deltaRows" -> n), kind = "dim-update")
+      // fold into the active dim only after the delta is durable
+      activeDim = Some(CdcEngine.materializeDim(
+        base.join(keyed.select("asid", "yearMonth").distinct(),
+            Seq("asid", "yearMonth"), "left_anti")
+          .unionByName(keyed)))
       // the delta's months now HAVE snapshots — extend the strict/lineage
       // coverage declaration so a strictDimMonths abort heals by refreshing
       // the dim and retrying the same ingest epoch id
-      val ms = delta.select(col("yearMonth").cast("int")).distinct()
+      val ms = keyed.select(col("yearMonth").cast("int")).distinct()
         .as[Int].collect().toSet
       activeDimMonths = activeDimMonths.map(_ ++ ms)
-    }
+      dimVersion = version
+      m
+    } finally keyed.unpersist()
+  }
 
-    // idempotent replay: the write is skip-if-present; the active-dim fold
-    // still happens (process state is rebuilt on every replay)
-    existing match {
-      case Some(m) =>
-        foldIntoActive()
-        return m.lineage.getOrElse("reEnriched", 0L)
-      case None => ()
-    }
-    foldIntoActive()
-    val yms = delta.select(col("yearMonth").cast("int")).distinct()
+  /** Retro-correction rows pending from dim versions newer than the
+    * enriched table's recorded `dim-version`: the already-committed
+    * transfers (snapshot as of `asOf`) the pending deltas can affect,
+    * re-enriched with the active dim, minus `excludeRepos` (keys the
+    * caller is upserting this epoch anyway — their fresh upsert already
+    * enriches with the current dim). None = no version is pending. The
+    * (asid × month) filter pushes to the parquet scan, so the read is
+    * O(affected), and re-enriching a row whose resolution did NOT change
+    * merely rewrites an identical version — the superset filter is safe.
+    */
+  private def pendingReEnrich(spark: SparkSession, asOf: Long,
+                              excludeRepos: Option[DataFrame]): Option[DataFrame] = {
+    import spark.implicits._
+    val tbl = enriched.get
+    val v0 = tbl.latestManifest()
+      .flatMap(_.metadata.get(CdcEngine.DimVersionKey)).map(_.toLong)
+      .getOrElse(-1L)
+    if (dimVersion <= v0) return None
+    val deltas = dimlog.get.changesSince(spark, v0)
+    // the dim is broadcast-small by contract → bounded driver-side collects
+    val asids = deltas.select("asid").distinct().as[String].collect().toSet
+    if (asids.isEmpty) return None
+    val yms = deltas.select(col("yearMonth").cast("int")).distinct()
       .as[Int].collect().toSet
-
-    // the dim is broadcast-small by contract, so its delta's key sets are
-    // bounded driver-side collects
-    val asids = delta.select("asid").distinct().as[String].collect().toSet
-    if (asids.isEmpty) return 0L
     val affectedMonths = yms.flatMap(ym =>
       Set(ym, if (ym % 100 == 12) ym + 89 else ym + 1)) // m and m+1 (fallback reach)
-
-    val t = transfers.snapshot(spark)
-    if (t.columns.isEmpty) return 0L
+    val t = transfers.snapshot(spark, asOf = asOf)
+    if (t.columns.isEmpty) return None
     val ymCol = (year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
       month(timestamp_micros(col("dateRequestedMicros")))).cast("int")
-    // superset filter is safe: re-enriching a row whose resolution did NOT
-    // change rewrites an identical version — correctness unaffected
     val affected = t.filter(
       (col("requestingPracticeAsid").isin(asids.toSeq: _*) ||
         col("sendingPracticeAsid").isin(asids.toSeq: _*)) &&
         ymCol.isin(affectedMonths.toSeq: _*))
-      .cache() // shared by the count and the merge write
-    try {
-      val n = affected.count()
-      // nothing affected ⇒ no commit: the manifest chain only carries real
-      // writes, and a replayed no-op re-derives the same empty set
-      if (n > 0)
-        tbl.mergeDelta(Enrichment.enrich(affected, activeDim.get), epoch,
-          metadata = Map("dim-update-asids" -> asids.size.toString,
-            "dim-update-months" -> yms.toSeq.sorted.mkString(",")),
-          lineage = Map("reEnriched" -> n),
-          kind = "dim-update")
-      n
-    } finally affected.unpersist()
+    val kept = excludeRepos.fold(affected)(ex =>
+      affected.join(ex.distinct(), Seq("repo"), "left_anti"))
+    Some(Enrichment.enrich(kept, activeDim.get,
+      monthsHint = Some(affectedMonths.toSeq)))
+  }
+
+  /** Commit the pending retro-correction on the enriched chain NOW, as its
+    * own `kind="dim-update"` epoch — for a dim refresh with no subsequent
+    * ingest epoch to ride (e.g. an end-of-feed correction). UNLIKE
+    * `applyDimUpdate`'s version ids, `epoch` lands on the enriched (ingest)
+    * chain and therefore shares the ingest number space: like `maintain`,
+    * the caller must keep it disjoint from ingest ids and below every
+    * future ingest id. Returns the number of re-enriched rows (0 = nothing
+    * pending or affected; no commit).
+    */
+  def flushDimUpdates(spark: SparkSession, epoch: Long): Long = {
+    val tbl = enriched.getOrElse(throw new IllegalStateException(
+      "engine was built without a dim — no enriched table to re-enrich"))
+    ensureDimState()
+    tbl.manifestAt(epoch) match {
+      case Some(m) =>
+        require(m.kind == "dim-update",
+          s"epoch $epoch of enriched is already a '${m.kind}' commit — " +
+            "flush epoch ids must be disjoint from ingest/maintenance ids")
+        return m.lineage.getOrElse("reEnriched", 0L)
+      case None =>
+        tbl.latestManifest().foreach { h =>
+          require(h.epoch < epoch,
+            s"flush epoch $epoch is below the enriched chain head ${h.epoch} — " +
+              "epoch ids must stay monotonic per table (aborting before any change)")
+        }
+    }
+    pendingReEnrich(spark, asOf = epoch - 1, excludeRepos = None) match {
+      case None => 0L
+      case Some(re) =>
+        val c = re.cache() // shared by the count and the merge write
+        try {
+          val n = c.count()
+          if (n > 0)
+            tbl.mergeDelta(c, epoch,
+              metadata = Map(CdcEngine.DimVersionKey -> dimVersion.toString),
+              lineage = Map("reEnriched" -> n), kind = "dim-update")
+          n
+        } finally c.unpersist()
+    }
   }
 
   /** Grow both tables' bucket counts (one epoch number each, state first) —
@@ -1069,6 +1210,22 @@ final class CdcEngine(
 }
 
 object CdcEngine {
+  /** Manifest-metadata key on every enriched commit: the dim version the
+    * commit enriched with — the durable watermark `pendingReEnrich` diffs
+    * against the dimlog head to find retro-corrections still owed.
+    */
+  val DimVersionKey: String = "dim-version"
+
+  /** Collect a (broadcast-small by contract) dim to local rows and rebuild
+    * it as a local-relation DataFrame — bounds the active dim's plan
+    * lineage at depth 1 no matter how many update folds have been applied
+    * (each fold otherwise wraps the previous dim in another
+    * anti-join ∪ union, deepening the broadcast plan unboundedly).
+    */
+  def materializeDim(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Everything a committed epoch needs, computed by `foldEpoch` BEFORE any
     * sink is touched: the cached fold output, the per-sink frames, the
     * shared summary stats and the manifest metadata/lineage. Splitting the

@@ -163,8 +163,9 @@ object Enrichment {
              /** The distinct request months of `transfers`, when the caller
                * already knows them (the CDC engine's epoch summary computes
                * them in its one summary job) — saves a per-call distinct
-               * collect job. Must be exact: months drive the effective-as-of
-               * dim expansion.
+               * collect job. Must COVER every request month present (a
+               * superset is safe: extra months only add unmatched dim rows
+               * to the broadcast; a missing month would null-pad its rows).
                */
              monthsHint: Option[Seq[Int]] = None): DataFrame = {
     val spark = transfers.sparkSession

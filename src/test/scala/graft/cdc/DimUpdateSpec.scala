@@ -4,20 +4,22 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Dimension-refresh semantics (`CdcEngine.applyDimUpdate`): a dim-snapshot
-  * delta must (1) re-enrich only the already-committed rows it can affect,
-  * (2) govern every subsequent epoch's enrichment, (3) replay/idempote like
-  * any other commit, (4) never collide silently with ingest epoch ids, and
-  * (5) heal a strictDimMonths abort so the SAME ingest epoch id can retry.
+/** Dimension-refresh semantics (`CdcEngine.applyDimUpdate` + the durable
+  * dimlog chain): a dim-snapshot delta must (1) commit durably on its OWN
+  * manifest chain (version ids disjoint from ingest epoch ids — dense
+  * ingest numbering keeps flowing across a committing dim update), (2)
+  * govern every subsequent epoch's enrichment, (3) retro-correct the
+  * already-committed rows it affects via the NEXT enriched commit (or an
+  * explicit flush), (4) survive an engine restart without the caller
+  * replaying the dim feed, and (5) heal a strictDimMonths abort so the
+  * SAME ingest epoch id retries — including when the refresh re-enriches
+  * committed rows (n > 0), the round-4 wedge case.
   *
   * Reference behaviour donor: the reference reloads org metadata per run
-  * (`transfer_classifier.py:171-193`), so an ODS refresh there retroactively
-  * changes the next run's output for the whole window; the CDC-native
-  * equivalent is an O(changed) retro-correction plus new-dim-for-new-epochs.
-  *
-  * Epoch-id convention exercised here: dim-update ids share each table's
-  * monotonic number space, so they interleave with ingest ids (0,1 → update
-  * 2 → 3,4), exactly like maintenance epochs.
+  * (`transfer_classifier.py:171-193`), so an ODS refresh there
+  * retroactively changes the next run's output for the whole window; the
+  * CDC-native equivalent is an O(changed) retro-correction plus
+  * new-dim-for-new-epochs.
   */
 class DimUpdateSpec extends SparkSpec {
   import spark.implicits._
@@ -69,41 +71,93 @@ class DimUpdateSpec extends SparkSpec {
     Enrichment.enrich(
       CdcPipeline.withRowSha(CdcPipeline.classify(events, 14 * day).toDF()), dim)
 
-  test("dim update retro-corrects committed rows and governs later epochs") {
+  test("dim update retro-corrects via the next epoch and governs later epochs") {
     val eng = new CdcEngine(tmpDir("dimupd"), numBuckets = 8,
       cutoffMicros = 14 * day, dim = Some(baseDim))
     (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
 
     val preUpdate = rowMap(eng.currentEnriched(spark))
-    val n = eng.applyDimUpdate(spark, delta, epoch = 2L)
-    assert(n > 0, "the delta's asids appear in the log — some rows must re-enrich")
+    // version 0 on the dimlog's OWN chain — deliberately equal to an ingest
+    // epoch id, proving the number spaces are disjoint
+    eng.applyDimUpdate(spark, delta, version = 0L)
+    assert(eng.currentDimVersion == 0L)
 
+    // ingest keeps its DENSE numbering across the committing dim update —
+    // the round-4 wedge (dim commit above the enriched head blocking the
+    // next ingest id) is structurally gone
     val newDim = foldDelta(baseDim, delta)
-    val afterRetro = rowMap(eng.currentEnriched(spark))
-    assert(afterRetro == rowMap(batchEnrich(log.filter(_.epoch <= 1L), newDim)),
-      "retro-correction must equal one-shot enrichment with the refreshed dim")
-    assert(afterRetro != preUpdate, "the refreshed names must be visible")
+    (2L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
 
-    // subsequent epochs enrich with the refreshed dim (ingest ids continue
-    // after the update's id — shared monotonic number space)
-    (2L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e + 1L))
-    assert(rowMap(eng.currentEnriched(spark)) == rowMap(batchEnrich(log, newDim)),
-      "epochs after the update must use the refreshed dim")
+    val after = rowMap(eng.currentEnriched(spark))
+    assert(after == rowMap(batchEnrich(log, newDim)),
+      "retro-correction + refreshed-dim epochs must equal one-shot enrichment")
+    assert(after != preUpdate, "the refreshed names must be visible")
 
-    // O(affected): the re-enrichment commit wrote only delta-adjacent rows
-    val m = eng.enriched.get.manifestAt(2L).get
-    assert(m.kind == "dim-update")
-    assert(m.lineage("reEnriched") == n && n < preUpdate.size,
+    // the retro ride happened on epoch 2's enriched commit: O(affected)
+    // lineage plus the dim-version watermark
+    val m2 = eng.enriched.get.manifestAt(2L).get
+    val n = m2.lineage("reEnriched")
+    assert(n > 0 && n < preUpdate.size,
       s"re-enriched $n of ${preUpdate.size} rows — must be the affected subset")
+    assert(m2.metadata(CdcEngine.DimVersionKey) == "0")
+    // later epochs carry no further retro work
+    assert(!eng.enriched.get.manifestAt(3L).get.lineage.contains("reEnriched"))
+    // and the delta rows are durable on the dimlog chain
+    assert(eng.dimlog.get.manifestAt(0L).get.kind == "dim-update")
+    assert(eng.dimlog.get.manifestAt(0L).get.lineage("deltaRows") == 3L)
   }
 
-  test("dim update is idempotent and replays to identical state") {
+  test("flushDimUpdates retro-corrects immediately when no ingest follows") {
+    val eng = new CdcEngine(tmpDir("dimflush"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    eng.applyDimUpdate(spark, delta, version = 0L)
+
+    val n = eng.flushDimUpdates(spark, epoch = 100L)
+    assert(n > 0)
+    assert(rowMap(eng.currentEnriched(spark)) ==
+      rowMap(batchEnrich(log.filter(_.epoch <= 1L), foldDelta(baseDim, delta))),
+      "flushed state must equal one-shot enrichment with the refreshed dim")
+    val m = eng.enriched.get.manifestAt(100L).get
+    assert(m.kind == "dim-update" && m.lineage("reEnriched") == n)
+    // replaying the committed flush is a no-op returning the same count
+    assert(eng.flushDimUpdates(spark, epoch = 100L) == n)
+    // an ingest epoch reusing the flush id aborts before any table commits
+    intercept[IllegalArgumentException] {
+      eng.applyEpoch(spark, log.filter(_.epoch == 2L), 100L)
+    }
+    assert(eng.state.manifestAt(100L).isEmpty && eng.transfers.manifestAt(100L).isEmpty)
+  }
+
+  test("a restarted engine rebuilds the dim from the dimlog — no feed replay") {
+    val dir = tmpDir("dimrestart")
+    val first = new CdcEngine(dir, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    (0L to 1L).foreach(e => first.applyEpoch(spark, log.filter(_.epoch == e), e))
+    first.applyDimUpdate(spark, delta, version = 7L)
+
+    // "restart": a fresh instance over the same warehouse, constructed with
+    // the SEED dim only — the round-4 gap was that this instance silently
+    // enriched future epochs with the stale seed
+    val resumed = new CdcEngine(dir, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    assert(resumed.currentDimVersion == 7L)
+    (2L to 3L).foreach(e => resumed.applyEpoch(spark, log.filter(_.epoch == e), e))
+
+    assert(rowMap(resumed.currentEnriched(spark)) ==
+      rowMap(batchEnrich(log, foldDelta(baseDim, delta))),
+      "the restarted engine must enrich with the refreshed dim AND " +
+        "retro-correct the pre-restart rows")
+    assert(resumed.enriched.get.manifestAt(2L).get.lineage("reEnriched") > 0)
+  }
+
+  test("dim updates are idempotent and independent replays converge") {
     def run(dir: String): CdcEngine = {
       val eng = new CdcEngine(dir, numBuckets = 8,
         cutoffMicros = 14 * day, dim = Some(baseDim))
       (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
-      eng.applyDimUpdate(spark, delta, epoch = 2L)
-      (2L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e + 1L))
+      eng.applyDimUpdate(spark, delta, version = 2L)
+      (2L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
       eng
     }
     val a = run(tmpDir("dimreplay-a"))
@@ -111,108 +165,110 @@ class DimUpdateSpec extends SparkSpec {
     assert(rowMap(a.currentEnriched(spark)) == rowMap(b.currentEnriched(spark)),
       "independent replays of the same feed must converge")
 
-    // re-running the committed dim-update epoch skips the write
+    // re-running the committed version returns the existing manifest and
+    // leaves both chains untouched
     val head = a.enriched.get.latestManifest().get
-    val again = a.applyDimUpdate(spark, delta, epoch = 2L)
-    assert(again == a.enriched.get.manifestAt(2L).get.lineage("reEnriched"))
+    val dimHead = a.dimlog.get.latestManifest().get
+    val again = a.applyDimUpdate(spark, delta, version = 2L)
+    assert(again == dimHead)
     assert(a.enriched.get.latestManifest().get == head, "no new commit on replay")
   }
 
-  test("ingest epoch reusing a dim-update id aborts BEFORE any table commits") {
-    val eng = new CdcEngine(tmpDir("dimcollide"), numBuckets = 8,
-      cutoffMicros = 14 * day, dim = Some(baseDim))
-    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
-    eng.applyDimUpdate(spark, delta, epoch = 1L)
-
-    // the round-3 hazard: without the pre-flight, state's appendNew future
-    // could commit the batch under the contested id before the enriched
-    // commit throws — a later retry under a corrected id would then see no
-    // fresh events and silently never write the transfers. The abort must
-    // leave EVERY chain untouched at the contested id.
-    intercept[IllegalArgumentException] {
-      eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L)
-    }
-    assert(eng.state.manifestAt(1L).isEmpty, "state must not commit on abort")
-    assert(eng.transfers.manifestAt(1L).isEmpty)
-
-    // the corrected id then applies the SAME batch completely
-    eng.applyEpoch(spark, log.filter(_.epoch == 1L), 2L)
-    assert(eng.committedThrough().contains(2L))
-    assert(rowMap(eng.currentEnriched(spark)) ==
-      rowMap(batchEnrich(log.filter(_.epoch <= 1L), foldDelta(baseDim, delta))),
-      "post-retry state must equal the batch oracle — nothing lost")
-
-    // and the reverse collision: a dim update reusing an ingest id throws
-    intercept[IllegalArgumentException] {
-      eng.applyDimUpdate(spark, delta, epoch = 2L)
-    }
-  }
-
-  test("ingest below a high-parked dim-update id aborts with NOTHING committed") {
-    // the round-4 review finding: a dim-update parked at a HIGH id on the
-    // enriched chain (with transfers non-empty, so a manifest really lands)
-    // must not let a later, lower-numbered ingest epoch half-commit
-    // state+transfers and then fail the enriched future — that divergence
-    // is unhealable. The head-ordering pre-flight aborts side-effect-free.
-    val eng = new CdcEngine(tmpDir("dimpark"), numBuckets = 8,
-      cutoffMicros = 14 * day, dim = Some(baseDim))
-    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
-    val n = eng.applyDimUpdate(spark, delta, epoch = 1000L)
-    assert(n > 0, "the parked update must really commit a manifest")
-
-    intercept[IllegalArgumentException] {
-      eng.applyEpoch(spark, log.filter(_.epoch == 1L), 1L) // below head 1000
-    }
-    assert(eng.state.manifestAt(1L).isEmpty && eng.transfers.manifestAt(1L).isEmpty,
-      "no chain may advance on the abort")
-
-    // and a dim update below its own chain head is rejected the same way
-    intercept[IllegalArgumentException] {
-      eng.applyDimUpdate(spark, delta, epoch = 500L)
-    }
-  }
-
-  test("an aborted dim update leaves the active dim and months untouched") {
+  test("an aborted dim update leaves the active dim, months and version untouched") {
     val eng = new CdcEngine(tmpDir("dimabort"), numBuckets = 8,
       cutoffMicros = 14 * day, dim = Some(baseDim),
       dimMonths = Some(baseMonths.toSet))
     eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    eng.applyDimUpdate(spark, delta, version = 5L)
     val monthsBefore = eng.currentDimMonths
     val dimBefore = eng.currentDim.get
+    // below the dimlog head — must abort before any state mutates
     intercept[IllegalArgumentException] {
-      eng.applyDimUpdate(spark, delta, epoch = 0L) // collides with ingest id
+      eng.applyDimUpdate(spark, delta, version = 3L)
     }
-    assert(eng.currentDimMonths == monthsBefore,
-      "strict coverage must not gain months from an aborted update")
+    assert(eng.currentDimMonths == monthsBefore)
     assert(eng.currentDim.get eq dimBefore,
       "the active dim must be the exact pre-abort instance")
+    assert(eng.currentDimVersion == 5L)
+    // and a delta with two versions of one (asid, yearMonth) is rejected
+    intercept[IllegalArgumentException] {
+      eng.applyDimUpdate(spark, delta.unionByName(delta), version = 6L)
+    }
   }
 
-  test("strictDimMonths aborts side-effect-free and heals via dim refresh") {
-    // January 2020 transfers: month 202001, previous 201912 — declare
-    // NEITHER so every classified transfer is a missing-dim row
-    val eng = new CdcEngine(tmpDir("strict"), numBuckets = 8,
-      cutoffMicros = 14 * day,
-      dim = Some(Enrichment.generateDim(spark, 997, Seq(201911))),
-      dimMonths = Some(Set(201911)), strictDimMonths = true)
+  test("strict heal with dense ids: abort, committing dim refresh (n>0), same-id retry") {
+    // the round-4 ADVICE wedge: epochs 0..e committed with DENSE ids, epoch
+    // e+1 strict-aborts, the healing dim refresh REALLY commits (and owes a
+    // retro-correction to committed rows), and the SAME id e+1 must retry.
+    val t0 = 1579046400000000L // 2020-01-15T00:00Z
+    val feb = 1581292800000000L // 2020-02-10T00:00Z
+    val minute = 60L * 1000000L
+    def msg(conv: String, guid: String, t: Long, interaction: String,
+            from: String, ref: Option[String]) = MessageParser.format(
+      graft.classifier.SpineMessage(t, conv, guid, interaction, from,
+        if (from == "A") "B" else "A", ref, None, Some("EMIS Web"), Some("Vision")))
+    import graft.classifier.Interactions._
+    def conv(repo: String, start: Long, offset0: Long, epoch: Long): Seq[ChangeEvent] = Seq(
+      ChangeEvent(repo, "p", s"$repo-req", "scala",
+        msg(repo, s"$repo-req", start, EhrRequestStarted, "A", None),
+        offset0, "insert", start, epoch),
+      ChangeEvent(repo, "p", s"$repo-ehr", "scala",
+        msg(repo, s"$repo-ehr", start + minute, EhrRequestCompleted, "B", None),
+        offset0 + 1, "insert", start + minute, epoch),
+      ChangeEvent(repo, "p", s"$repo-ack", "scala",
+        msg(repo, s"$repo-ack", start + 2 * minute, ApplicationAck, "A",
+          Some(s"$repo-ehr")),
+        offset0 + 2, "insert", start + 2 * minute, epoch))
+    val seed = Seq(Enrichment.OrgDimRow("A", "O-A", "Practice A (2019-12)",
+      "S1", "SB1", 201912)).toDF()
+    val eng = new CdcEngine(tmpDir("strict-dense"), numBuckets = 4,
+      cutoffMicros = 14 * day, dim = Some(seed),
+      dimMonths = Some(Set(201912)), strictDimMonths = true)
+
+    // epoch 0: January conversation — covered via the 201912 fallback
+    eng.applyEpoch(spark, conv("r1", t0, 0L, 0L).toDS(), 0L)
+    // epoch 1: February conversation — 202002 and 202001 both lack a
+    // snapshot → the reference's OdsMetadataNotFound; side-effect-free abort
     val ex = intercept[IllegalStateException] {
-      eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+      eng.applyEpoch(spark, conv("r2", feb, 10L, 1L).toDS(), 1L)
     }
     assert(ex.getMessage.contains("OdsMetadataNotFound"))
-    assert(eng.state.manifestAt(0L).isEmpty && eng.transfers.manifestAt(0L).isEmpty,
-      "the strict abort must precede every commit")
+    assert(eng.state.manifestAt(1L).isEmpty && eng.transfers.manifestAt(1L).isEmpty)
 
-    // refresh the dim with a 201912 snapshot month → coverage now includes
-    // the fallback month of 202001, and the SAME epoch id retries cleanly.
-    // (the update epoch here uses an id ABOVE the ingest range — nothing
-    // has committed yet, so any id works; ingest then starts at 0)
-    eng.applyDimUpdate(spark,
-      Seq(Enrichment.OrgDimRow("asid-1", "O1", "P1", "S1", "SB1", 201912)).toDF(),
-      epoch = 100L)
-    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
-    assert(eng.committedThrough().contains(0L))
-    assert(eng.transfers.manifestAt(0L).get
-      .lineage.get("missingDimMonthTransfers").contains(0L))
+    // the heal: a 202001 snapshot (covers February via fallback) that ALSO
+    // renames asid A for January — so the refresh owes a retro-correction
+    // to the COMMITTED epoch-0 row (the n>0 case the old design wedged on)
+    eng.applyDimUpdate(spark, Seq(Enrichment.OrgDimRow("A", "O-A-upd",
+      "Practice A (refreshed)", "S9", "SB9", 202001)).toDF(), version = 0L)
+
+    // the SAME ingest epoch id retries cleanly — dense numbering holds
+    eng.applyEpoch(spark, conv("r2", feb, 10L, 1L).toDS(), 1L)
+    assert(eng.committedThrough().contains(1L))
+    val m1 = eng.enriched.get.manifestAt(1L).get
+    assert(m1.lineage("reEnriched") > 0,
+      "the committed January row must have been retro-corrected")
+    val enrichedNames = eng.currentEnriched(spark)
+      .select("repo", "requesting_practice_name").as[(String, String)]
+      .collect().toMap
+    assert(enrichedNames("r1") == "Practice A (refreshed)",
+      "the January row must as-of-resolve to the refreshed 202001 snapshot")
+    assert(enrichedNames("r2") == "Practice A (refreshed)")
+  }
+
+  test("fifty dim updates keep the active dim's plan flat (materialized folds)") {
+    val eng = new CdcEngine(tmpDir("dimflat"), numBuckets = 4,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    (1L to 50L).foreach { v =>
+      eng.applyDimUpdate(spark,
+        Seq(Enrichment.OrgDimRow(s"asid-$v", s"O-$v", s"P$v (v$v)",
+          "S1", "SB1", 201912)).toDF(), version = v)
+    }
+    // each fold materializes to a local relation — plan depth must not grow
+    // with the number of updates (the round-4 lineage-growth finding)
+    val planLines = eng.currentDim.get.queryExecution.logical
+      .numberedTreeString.linesIterator.size
+    assert(planLines <= 3, s"active dim plan grew to $planLines nodes")
+    assert(eng.currentDimVersion == 50L)
   }
 
   test("strictDimMonths without dimMonths is rejected at construction") {
