@@ -71,6 +71,54 @@ object Export {
     } finally withD.unpersist()
   }
 
+  /** The incremental exporter's durable cursor — persisted IN THE EXPORT
+    * DESTINATION (a `_graft_cursor` file beside the day partitions), not as
+    * a commit on the transfers chain: every lake table is single-writer,
+    * and the exporter is a downstream CONSUMER (typically another process),
+    * so a cursor commit on the source chain would race ingest commits.
+    * Offsets belong to the consumer (the Kafka consumer-group model).
+    * Written atomically (tmp + ATOMIC_MOVE); a crash between the export
+    * write and the cursor advance re-exports the same days on restart —
+    * idempotent, because `exportDailyIncremental` deterministically
+    * overwrites exactly the affected day partitions.
+    */
+  private def cursorPath(outDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(outDir, "_graft_cursor")
+
+  def readCursor(outDir: String): Option[Long] = {
+    val p = cursorPath(outDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  private def writeCursor(outDir: String, epoch: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val tmp = java.nio.file.Paths.get(outDir, "._graft_cursor.tmp")
+    java.nio.file.Files.write(tmp, epoch.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, cursorPath(outDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Self-resuming incremental export: reads its own persisted cursor from
+    * `outDir`, exports `(cursor, head]`, and advances the cursor to the
+    * table head — so a restarted exporter (new process, no caller state)
+    * continues exactly where the last successful run finished. First run
+    * (no cursor) exports everything. Returns the rewritten day set.
+    */
+  def exportDailyIncrementalResumable(table: graft.lake.LakeTable,
+                                      spark: org.apache.spark.sql.SparkSession,
+                                      outDir: String): Seq[String] = {
+    val head = table.latestManifest().map(_.epoch).getOrElse(return Seq.empty)
+    val since = readCursor(outDir).getOrElse(-1L)
+    if (head <= since) return Seq.empty // nothing committed since the cursor
+    val days = exportDailyIncremental(table, spark, outDir, since, asOf = head)
+    writeCursor(outDir, head)
+    days
+  }
+
   /** Incremental flavour: rewrite ONLY the day partitions affected since the
     * exporter's last run, instead of re-exporting the whole table.
     *

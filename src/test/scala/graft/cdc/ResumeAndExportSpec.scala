@@ -100,6 +100,50 @@ class ResumeAndExportSpec extends SparkSpec {
     assert(rows(out) == rows(full))
   }
 
+  test("resumable export persists its own cursor across exporter restarts") {
+    val wideCfg = GenConfig(numConversations = 3000, hotConversations = 0,
+      hotFragments = 0, redeliveryPermille = 20, epochs = 4)
+    val log = ChangeLogGen.generate(spark, wideCfg).cache()
+    val eng = new CdcEngine(tmpDir("cur-export"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    val out = tmpDir("cur-export-out")
+
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    val first = Export.exportDailyIncrementalResumable(eng.transfers, spark, out)
+    assert(first.nonEmpty, "initial resumable run exports every day")
+    assert(Export.readCursor(out).contains(eng.transfers.latestManifest().get.epoch))
+    // idle re-run (restarted exporter, nothing new committed): pure no-op
+    assert(Export.exportDailyIncrementalResumable(eng.transfers, spark, out).isEmpty)
+
+    def dayFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("date_requested_day="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = dayFiles()
+
+    (2L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    // "restarted" exporter: no caller-held cursor — the persisted one drives
+    val rewritten = Export.exportDailyIncrementalResumable(eng.transfers, spark, out)
+    assert(rewritten.nonEmpty && !rewritten.contains("2020-01-01"),
+      s"unchanged day rewritten: $rewritten")
+    val untouched = before.keySet.filterNot(d =>
+      rewritten.contains(d.stripPrefix("date_requested_day=")))
+    assert(untouched.nonEmpty)
+    val after = dayFiles()
+    untouched.foreach(d => assert(after(d) == before(d), s"$d was rewritten"))
+
+    // crash between export and cursor advance: the stale cursor re-exports
+    // the same epochs — idempotent, still equals a full re-export
+    Export.exportDailyIncremental(eng.transfers, spark, out,
+      sinceEpoch = Export.readCursor(out).get - 2, asOf = Long.MaxValue)
+    val full = tmpDir("cur-full-out")
+    Export.exportDaily(eng.currentTransfers(spark), full)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("repo", "row_sha256", "date_requested_day")
+      .as[(String, String, String)].collect().toSet
+    assert(rows(out) == rows(full))
+  }
+
   test("incremental export clears a day whose rows all moved away") {
     import graft.lake.LakeTable
     val t = new LakeTable(tmpDir("move") + "/t", numBuckets = 2,
