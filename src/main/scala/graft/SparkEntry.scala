@@ -292,6 +292,20 @@ object SparkEntry {
         t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
         "doc_id", "payload", stride = 2)),
 
+    // ---- multimodal REAL decode: deterministic PNG payloads round-tripped
+    // through the JDK imageio decoder; dims + exact per-channel pixel sums
+    // are closed forms the SQL oracle recomputes independently ----
+    "m03_img_decode" -> ((s, d) =>
+      MultimodalOps.decodeImages(
+        MultimodalOps.renderTestImages(
+          t(s, d, "documents").filter(col("doc_id") < 256), "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          element_at(col("chan_sum"), 1).as("sum_r"),
+          element_at(col("chan_sum"), 2).as("sum_g"),
+          element_at(col("chan_sum"), 3).as("sum_b"))),
+
     // ---- J2/J3: org-dimension enrichment (as-of month + fallback) ----
     "c02_cdc_enriched" -> ((s, _) => {
       val cfg = GenConfig(numConversations = 200, hotConversations = 1, hotFragments = 32)
@@ -679,5 +693,21 @@ object SparkEntry {
          FROM (SELECT doc_id,
                  (octet_length(encode(text)) + 1023) // 1024 AS n_frames
                FROM documents)""",
+    // the decode oracle recomputes the deterministic pixel functions in SQL
+    // — an INDEPENDENT check of the whole PNG encode→imageio-decode loop
+    "m03_img_decode" ->
+      """SELECT d.doc_id,
+                'png' AS format,
+                CAST(8 + d.doc_id % 5 AS INT) AS width,
+                CAST(6 + d.doc_id % 7 AS INT) AS height,
+                CAST(3 AS INT) AS channels,
+                CAST(SUM((31*d.doc_id + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((17*d.doc_id + 5*xs.x + 3*ys.y) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((7*d.doc_id + 11*xs.x + 2*ys.y) % 256) AS BIGINT) AS sum_b
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d
+         CROSS JOIN range(0, 12) AS xs(x)
+         CROSS JOIN range(0, 12) AS ys(y)
+         WHERE xs.x < 8 + d.doc_id % 5 AND ys.y < 6 + d.doc_id % 7
+         GROUP BY d.doc_id""",
   )
 }

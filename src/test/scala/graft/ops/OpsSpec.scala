@@ -275,6 +275,57 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(feat.sum - 1.0f) < 1e-5, "histogram must sum to 1")
   }
 
+  test("imageio decode round-trips deterministic PNGs to exact pixel sums") {
+    val ids = Seq(0L, 5L, 13L, 64L).toDF("doc_id")
+    val got = MultimodalOps.decodeImages(
+        MultimodalOps.renderTestImages(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (d <- Seq(0L, 5L, 13L, 64L)) {
+      val w = (8 + d % 5).toInt
+      val h = (6 + d % 7).toInt
+      // closed-form oracle, recomputed independently of the codec
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (31 * d + 7 * x + 13 * y) % 256
+        sg += (17 * d + 5 * x + 3 * y) % 256
+        sb += (7 * d + 11 * x + 2 * y) % 256
+      }
+      val r = got(d)
+      assert(r.getAs[String]("format") == "png")
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getSeq[Long](r.fieldIndex("chan_sum")) == Seq(sr, sg, sb),
+        s"doc $d pixel sums diverge from the closed form")
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
+  test("imageio decode handles JPEG and never throws on unknown payloads") {
+    // JPEG: lossy, so only the container/dims/channel-count are pinned
+    val img = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val rows = Seq(
+      (1L, out.toByteArray),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+      // PNG magic but truncated body — the corrupt-payload fallback
+      (4L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+    ).toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeImages(rows, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("format") == "jpeg")
+    assert(got(1L).getAs[Int]("width") == 9 && got(1L).getAs[Int]("height") == 7)
+    assert(got(1L).getAs[Int]("channels") == 3)
+    assert(got(2L).getAs[String]("format") == "unknown")
+    assert(got(2L).getAs[Int]("width") == -1)
+    assert(got(2L).getAs[Long]("n_bytes") == 19L)
+    assert(got(3L).getAs[String]("format") == "unknown")
+    assert(got(4L).getAs[String]("format") == "unknown",
+      "corrupt PNG must fall back, not throw")
+  }
+
   test("language marker hits drive the guess; no hits → und") {
     val rows = Seq(
       "the cat and the dog in a house",   // en markers
