@@ -51,6 +51,42 @@ object Bench {
     (n, classifySec, applySec, replaySec)
   }
 
+  /** Pure-CPU boot-health control, embedded in every capture: this sandbox
+    * VM's speed drifts ×1.5 across reboots (three rounds of capture
+    * adjudication, BENCH/BASELINE.md §5), so the JSON line carries its own
+    * normalizers. `control_cpu_sec` = wall seconds for a fixed
+    * 2×10^9-round splitmix64 loop on ONE thread (host contention/steal
+    * shows up directly — compare across captures before comparing query
+    * seconds). `control_eff` = T(1)/T(p) with the SAME per-thread work on
+    * `threads` concurrent threads — 1.0 is perfect thread scaling; the
+    * measured value is the boot's hardware ceiling that any same-boot
+    * scaling pair should be read against. Zero allocation, no Spark — the
+    * control measures the box, not the engine.
+    */
+  def cpuControl(threads: Int): (Double, Double) = {
+    val rounds = 2000000000L
+    def burn(seed: Long, n: Long): Long = {
+      var z = seed
+      var i = 0L
+      while (i < n) { z = graft.cdc.ChangeLogGen.mix64(z); i += 1 }
+      z
+    }
+    var sink = burn(7L, 100000000L) // JIT warm-up
+    val t0 = System.nanoTime()
+    sink ^= burn(42L, rounds)
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val results = new java.util.concurrent.atomic.AtomicLong(sink)
+    val pool = (0 until threads).map { i =>
+      new Thread(() => { results.getAndAdd(burn(i.toLong, rounds)) })
+    }
+    val p0 = System.nanoTime()
+    pool.foreach(_.start())
+    pool.foreach(_.join())
+    val tp = (System.nanoTime() - p0) / 1e9
+    if (results.get() == 0L) System.err.println("[bench] control sink hit zero")
+    (t1, t1 / tp)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,13 +155,19 @@ object Bench {
     val all = results ++ Seq(
       "cdc_classify" -> classifySec, "cdc_apply" -> applySec, "cdc_replay" -> replaySec)
 
+    // boot-health control AFTER the timed work (its thread burst would
+    // otherwise pollute the last query's tail); ~5s, untimed region
+    val controlThreads = scala.util.Try(cpus.toInt).getOrElse(32)
+    val (controlCpuSec, controlEff) = cpuControl(controlThreads)
+
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val evPerSec = (events / applySec).toLong
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cdc_events":$events,"cdc_apply_events_per_sec":$evPerSec,""" +
-      s""""cdc_classify_events_per_sec":${(events / classifySec).toLong},"cpus":"$cpus"}""")
+      s""""cdc_classify_events_per_sec":${(events / classifySec).toLong},"cpus":"$cpus",""" +
+      f""""control_cpu_sec":$controlCpuSec%.3f,"control_eff":$controlEff%.3f}""")
     spark.stop()
   }
 }
