@@ -71,7 +71,7 @@ object CdcIngestJob {
       val from = eng.committedThrough().getOrElse(-1L) + 1
       val todo = epochs.filter(_ >= from)
       val batches: Seq[(Long, org.apache.spark.sql.Dataset[ChangeEvent])] =
-        todo.toIndexedSeq.map(e => e -> log.filter(_.epoch == e))
+        todo.toIndexedSeq.map(e => e -> log.where(org.apache.spark.sql.functions.col("epoch") === e))
       if (env.get("GRAFT_PIPELINE").contains("0"))
         batches.foreach { case (e, b) => eng.applyEpoch(spark, b, e) }
       else

@@ -60,7 +60,7 @@ object ApplyProfile {
     (0L until cfg.epochs.toLong).foreach { e =>
       done.clear(); shuffleBytes.set(0L); scanBytes.set(0L)
       val t0 = System.nanoTime()
-      eng.applyEpoch(spark, log.filter(_.epoch == e), e)
+      eng.applyEpoch(spark, log.where(org.apache.spark.sql.functions.col("epoch") === e), e)
       val wall = (System.nanoTime() - t0) / 1e9
       // drain after the epoch: listener events are async but the queue is
       // settled once the action returns (concurrent commit futures joined)
