@@ -92,15 +92,25 @@ object ScalingBench {
       (n, classifySec, applySec)
     }
 
+    // SPARK_GRAFT_BRACKET=1: run N, 4N, N and average the two N legs — the
+    // sandbox VM's speed drifts monotonically within a session (measured
+    // 131k→171k ev/s across seven otherwise-identical runs), so a ratio of
+    // two legs minutes apart inherits the drift; bracketing the 4N leg with
+    // N legs on both sides cancels a linear drift term
+    val bracket = sys.env.get("SPARK_GRAFT_BRACKET").contains("1")
     val (n1, c1, a1) = run(nSmall)
     val (_, c4, a4) = run(nSmall * 4)
-    val effClassify = c1 / (4.0 * c4)
-    val effApply = a1 / (4.0 * a4)
+    val (c1e, a1e) = if (!bracket) (c1, a1) else {
+      val (_, c1b, a1b) = run(nSmall)
+      ((c1 + c1b) / 2.0, (a1 + a1b) / 2.0)
+    }
+    val effClassify = c1e / (4.0 * c4)
+    val effApply = a1e / (4.0 * a4)
     println(
       f"""{"metric":"scaling_efficiency","events":$n1,"n":$nSmall,"n4":${nSmall * 4},""" +
-      f""""classify_sec_n":$c1%.2f,"classify_sec_4n":$c4%.2f,"classify_eff":$effClassify%.3f,""" +
-      f""""apply_sec_n":$a1%.2f,"apply_sec_4n":$a4%.2f,"apply_eff":$effApply%.3f,""" +
-      f""""classify_eps_n":${(n1 / c1).toLong},"classify_eps_4n":${(n1 / c4).toLong},""" +
-      f""""apply_eps_n":${(n1 / a1).toLong},"apply_eps_4n":${(n1 / a4).toLong}}""")
+      f""""classify_sec_n":$c1e%.2f,"classify_sec_4n":$c4%.2f,"classify_eff":$effClassify%.3f,""" +
+      f""""apply_sec_n":$a1e%.2f,"apply_sec_4n":$a4%.2f,"apply_eff":$effApply%.3f,""" +
+      f""""classify_eps_n":${(n1 / c1e).toLong},"classify_eps_4n":${(n1 / c4).toLong},""" +
+      f""""apply_eps_n":${(n1 / a1e).toLong},"apply_eps_4n":${(n1 / a4).toLong}}""")
   }
 }
