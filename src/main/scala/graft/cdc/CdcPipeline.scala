@@ -482,7 +482,6 @@ final class CdcEngine(
     */
   private def ensureDimState(): Unit = synchronized {
     if (dimInited) return
-    dimInited = true
     dimlog.foreach { dl =>
       dl.latestManifest().foreach { head =>
         val spark = dim.get.sparkSession
@@ -500,6 +499,10 @@ final class CdcEngine(
         dimVersion = head.epoch
       }
     }
+    // only after a SUCCESSFUL rebuild: a transient failure above (executor
+    // loss mid-collect) must leave the flag unset so the next call retries,
+    // not pin the session to the stale seed with retro-correction disabled
+    dimInited = true
   }
 
   /** Apply one epoch of change events. Returns the transfers-table manifest.
@@ -958,38 +961,35 @@ final class CdcEngine(
         val meta = f.meta + (CdcEngine.DimVersionKey -> dimVersion.toString)
         val base = Enrichment.enrich(f.upserts, activeDim.get,
           monthsHint = Some(f.months))
-        pendingReEnrich(spark, asOf = epoch - 1,
-            excludeRepos = Some(f.upserts.select("repo"))) match {
+        // a pending dim refresh adds the retro-correction of the committed
+        // rows it affects (minus this epoch's own upserts — already freshly
+        // enriched) to THIS commit; nonEmptyPending resolves to the cached
+        // non-empty retro frame + count, or None
+        val pending = pendingReEnrich(spark, asOf = epoch - 1,
+          excludeRepos = Some(f.upserts.select("repo")))
+        val nonEmptyPending = pending.flatMap { re =>
+          val c = re.cache() // shared by the count and the merge write
+          val n = c.count()
+          if (n > 0) Some((c, n)) else { c.unpersist(); None }
+        }
+        nonEmptyPending match {
           case None =>
-            // fast path (every epoch without a pending dim refresh): same
-            // rows per bucket as the transfers commit, so its precomputed
-            // stats apply when the bucketing matches
+            // fast path (every epoch without pending retro work): same rows
+            // per bucket as the transfers commit, so its precomputed stats
+            // apply when the bucketing matches
             val sameB = tbl.currentNumBuckets == state.currentNumBuckets
             tbl.mergeDelta(base, epoch,
               metadata = meta, lineage = f.tLineage,
               touchedBuckets = Some(f.touched),
               precomputedStats = if (sameB) Some(f.transferStats) else None,
               compactInline = inlineCompaction)
-          case Some(re) =>
-            // a dim refresh is pending: this commit ALSO carries the
-            // retro-correction of the committed rows the refresh affects
-            // (minus this epoch's own upserts — already freshly enriched),
-            // so stats/touched are recomputed by the commit
-            val c = re.cache() // shared by the count and the merge write
-            try {
-              val n = c.count()
-              if (n == 0) {
-                val sameB = tbl.currentNumBuckets == state.currentNumBuckets
-                tbl.mergeDelta(base, epoch,
-                  metadata = meta, lineage = f.tLineage + ("reEnriched" -> 0L),
-                  touchedBuckets = Some(f.touched),
-                  precomputedStats = if (sameB) Some(f.transferStats) else None,
-                  compactInline = inlineCompaction)
-              } else
-                tbl.mergeDelta(base.unionByName(c), epoch,
-                  metadata = meta, lineage = f.tLineage + ("reEnriched" -> n),
-                  compactInline = inlineCompaction)
-            } finally c.unpersist()
+          case Some((c, n)) =>
+            // retro rows change the per-bucket row set — stats/touched are
+            // recomputed by the commit
+            try tbl.mergeDelta(base.unionByName(c), epoch,
+              metadata = meta, lineage = f.tLineage + ("reEnriched" -> n),
+              compactInline = inlineCompaction)
+            finally c.unpersist()
         }
       }
     }
@@ -1057,6 +1057,12 @@ final class CdcEngine(
       case Some(m) =>
         require(m.kind == "dim-update",
           s"version $version of the dimlog is already a '${m.kind}' commit")
+        // replay of a committed version: the delta is already durable, but
+        // THIS session's active dim may predate it (transient failure after
+        // the commit, before the fold) — fold again; last-writer-wins on
+        // (asid, yearMonth) makes the re-fold idempotent
+        foldDeltaIntoActive(delta)
+        if (version > dimVersion) dimVersion = version
         return m
       case None =>
         dl.latestManifest().foreach { h =>
@@ -1076,19 +1082,29 @@ final class CdcEngine(
         metadata = Map("dim-delta-rows" -> n.toString),
         lineage = Map("deltaRows" -> n), kind = "dim-update")
       // fold into the active dim only after the delta is durable
-      activeDim = Some(CdcEngine.materializeDim(
-        base.join(keyed.select("asid", "yearMonth").distinct(),
-            Seq("asid", "yearMonth"), "left_anti")
-          .unionByName(keyed)))
-      // the delta's months now HAVE snapshots — extend the strict/lineage
-      // coverage declaration so a strictDimMonths abort heals by refreshing
-      // the dim and retrying the same ingest epoch id
-      val ms = keyed.select(col("yearMonth").cast("int")).distinct()
-        .as[Int].collect().toSet
-      activeDimMonths = activeDimMonths.map(_ ++ ms)
+      foldDeltaIntoActive(keyed)
       dimVersion = version
       m
     } finally keyed.unpersist()
+  }
+
+  /** Fold a (column-conformed) delta into the active dim — last-writer-wins
+    * on (asid, yearMonth), materialized to keep plan depth flat — and
+    * extend the strict/lineage month coverage with the delta's months (so a
+    * strictDimMonths abort heals by refreshing the dim and retrying the
+    * same ingest epoch id). Idempotent: re-folding the same delta is a
+    * no-op by construction.
+    */
+  private def foldDeltaIntoActive(delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    activeDim = Some(CdcEngine.materializeDim(
+      activeDim.get.join(delta.select("asid", "yearMonth").distinct(),
+          Seq("asid", "yearMonth"), "left_anti")
+        .unionByName(delta)))
+    val ms = delta.select(col("yearMonth").cast("int")).distinct()
+      .as[Int].collect().toSet
+    activeDimMonths = activeDimMonths.map(_ ++ ms)
   }
 
   /** Retro-correction rows pending from dim versions newer than the
@@ -1157,6 +1173,13 @@ final class CdcEngine(
               "epoch ids must stay monotonic per table (aborting before any change)")
         }
     }
+    // NOTE: an all-miss flush (n == 0) deliberately commits nothing, so the
+    // watermark does not advance and a later flush re-scans the (tiny)
+    // dimlog pending set — any subsequent ingest epoch's enriched commit
+    // advances it. Inline compaction follows the engine's configuration;
+    // beware that a far-parked flush epoch id also moves the
+    // changeRetention horizon forward (schedule flush ids like maintenance
+    // ids, near the ingest numbering).
     pendingReEnrich(spark, asOf = epoch - 1, excludeRepos = None) match {
       case None => 0L
       case Some(re) =>
@@ -1166,7 +1189,8 @@ final class CdcEngine(
           if (n > 0)
             tbl.mergeDelta(c, epoch,
               metadata = Map(CdcEngine.DimVersionKey -> dimVersion.toString),
-              lineage = Map("reEnriched" -> n), kind = "dim-update")
+              lineage = Map("reEnriched" -> n), kind = "dim-update",
+              compactInline = inlineCompaction)
           n
         } finally c.unpersist()
     }

@@ -174,7 +174,16 @@ object Enrichment {
       .select((year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
         month(timestamp_micros(col("dateRequestedMicros")))).cast("int").as("ym"))
       .distinct().as[Int].collect().toSeq)
-    if (months.isEmpty) return transfers
+    // Schema-stable even for an empty/month-less input: callers union
+    // enriched frames from different epochs (the CDC engine's pending
+    // retro-correction rides a later epoch's commit), so a months-empty
+    // frame must still CARRY the enrichment columns, null-padded — exactly
+    // what the joins below would produce for it.
+    if (months.isEmpty)
+      return Seq("requesting", "sending").flatMap(p => Seq(
+        s"${p}_practice_ods_code", s"${p}_practice_name",
+        s"${p}_practice_sicbl_ods_code", s"${p}_practice_sicbl_name"))
+        .foldLeft(transfers)((df, n) => df.withColumn(n, lit(null).cast("string")))
     val eff = effectiveAsOf(dim, months)
     val reqDim = eff.select(
       (col("asid").as("__req_asid") +: col("yearMonth").as("__ym_r") +:

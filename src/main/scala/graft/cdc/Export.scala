@@ -82,24 +82,41 @@ object Export {
     * idempotent, because `exportDailyIncremental` deterministically
     * overwrites exactly the affected day partitions.
     */
-  private def cursorPath(outDir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(outDir, "_graft_cursor")
+  private def cursorPath(outDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(outDir, "_graft_cursor")
 
-  def readCursor(outDir: String): Option[Long] = {
+  /** Hadoop FileSystem for `outDir` — the cursor must live on the SAME
+    * store the day partitions land on (object store, HDFS, or local), not
+    * on whatever local disk the exporter process happens to run on.
+    */
+  private def cursorFs(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): org.apache.hadoop.fs.FileSystem =
+    cursorPath(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def readCursor(spark: org.apache.spark.sql.SparkSession,
+                 outDir: String): Option[Long] = {
+    val fs = cursorFs(spark, outDir)
     val p = cursorPath(outDir)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
   }
 
-  private def writeCursor(outDir: String, epoch: Long): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    val tmp = java.nio.file.Paths.get(outDir, "._graft_cursor.tmp")
-    java.nio.file.Files.write(tmp, epoch.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, cursorPath(outDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def writeCursor(spark: org.apache.spark.sql.SparkSession,
+                          outDir: String, epoch: Long): Unit = {
+    val fs = cursorFs(spark, outDir)
+    val tmp = new org.apache.hadoop.fs.Path(outDir, "._graft_cursor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(cursorPath(outDir), false)
+    if (!fs.rename(tmp, cursorPath(outDir)))
+      throw new IllegalStateException(s"cursor rename failed in $outDir")
+    // local/HDFS rename is atomic; on copy-based object stores the tiny
+    // delete→rename window only ever costs an idempotent re-export
   }
 
   /** Self-resuming incremental export: reads its own persisted cursor from
@@ -112,10 +129,10 @@ object Export {
                                       spark: org.apache.spark.sql.SparkSession,
                                       outDir: String): Seq[String] = {
     val head = table.latestManifest().map(_.epoch).getOrElse(return Seq.empty)
-    val since = readCursor(outDir).getOrElse(-1L)
+    val since = readCursor(spark, outDir).getOrElse(-1L)
     if (head <= since) return Seq.empty // nothing committed since the cursor
     val days = exportDailyIncremental(table, spark, outDir, since, asOf = head)
-    writeCursor(outDir, head)
+    writeCursor(spark, outDir, head)
     days
   }
 

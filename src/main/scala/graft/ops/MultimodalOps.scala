@@ -111,14 +111,19 @@ object MultimodalOps {
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes0 = r.getAs[Array[Byte]](1)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
         def undecodable = Row(id, "unknown", -1, -1, 0, Seq.empty[Long], bytes.length.toLong)
         sniffFormat(bytes) match {
           case "unknown" => undecodable
           case fmt =>
+            // NonFatal, not just IOException: the JDK JPEG/ICC decoders
+            // throw RuntimeExceptions (CMMException, AIOOBE) on some
+            // corrupt bodies with valid magic — all of them must take the
+            // fallback row, never the task down
             val img =
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) undecodable
             else {
               val raster = img.getRaster

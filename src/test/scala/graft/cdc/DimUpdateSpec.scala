@@ -151,6 +151,49 @@ class DimUpdateSpec extends SparkSpec {
     assert(resumed.enriched.get.manifestAt(2L).get.lineage("reEnriched") > 0)
   }
 
+  test("a pure-redelivery epoch carries a pending retro-correction cleanly") {
+    // the review finding: an epoch whose batch yields ZERO transfer upserts
+    // (all events resolve to already-durable copies, emit-on-change emits
+    // nothing) used to crash the enriched commit while a dim refresh was
+    // pending — the un-enriched empty base had no enrichment columns to
+    // union with the retro rows. It must instead commit the retro rows.
+    val eng = new CdcEngine(tmpDir("dimredeliver"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    eng.applyDimUpdate(spark, delta, version = 0L)
+
+    // epoch 2's batch = a verbatim redelivery of epoch 0's events
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 2L)
+    val m2 = eng.enriched.get.manifestAt(2L).get
+    assert(m2.lineage("reEnriched") > 0,
+      "the retro-correction must ride the redelivery epoch's commit")
+    assert(rowMap(eng.currentEnriched(spark)) ==
+      rowMap(batchEnrich(log.filter(_.epoch <= 1L), foldDelta(baseDim, delta))),
+      "state must equal one-shot enrichment with the refreshed dim")
+  }
+
+  test("a failed dim-state rebuild retries instead of pinning the stale seed") {
+    val dir = tmpDir("dimrebuild")
+    val first = new CdcEngine(dir, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    first.applyEpoch(spark, log.filter(_.epoch == 0L), 0L)
+    first.applyDimUpdate(spark, delta, version = 3L)
+
+    // corrupt the dimlog manifest so a fresh engine's first rebuild throws…
+    val mPath = java.nio.file.Paths.get(dir, "dimlog", "manifests")
+    val mFile = java.nio.file.Files.list(mPath).iterator().next()
+    val good = java.nio.file.Files.readAllBytes(mFile)
+    java.nio.file.Files.write(mFile, "not json".getBytes)
+    val resumed = new CdcEngine(dir, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    intercept[Exception] { resumed.currentDimVersion }
+    // …then heal the manifest: the SAME engine instance must rebuild on the
+    // next call, not stay pinned to the stale seed with a set init flag
+    java.nio.file.Files.write(mFile, good)
+    assert(resumed.currentDimVersion == 3L,
+      "the rebuild must retry after a transient failure")
+  }
+
   test("dim updates are idempotent and independent replays converge") {
     def run(dir: String): CdcEngine = {
       val eng = new CdcEngine(dir, numBuckets = 8,

@@ -111,7 +111,7 @@ class ResumeAndExportSpec extends SparkSpec {
     (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
     val first = Export.exportDailyIncrementalResumable(eng.transfers, spark, out)
     assert(first.nonEmpty, "initial resumable run exports every day")
-    assert(Export.readCursor(out).contains(eng.transfers.latestManifest().get.epoch))
+    assert(Export.readCursor(spark, out).contains(eng.transfers.latestManifest().get.epoch))
     // idle re-run (restarted exporter, nothing new committed): pure no-op
     assert(Export.exportDailyIncrementalResumable(eng.transfers, spark, out).isEmpty)
 
@@ -135,7 +135,7 @@ class ResumeAndExportSpec extends SparkSpec {
     // crash between export and cursor advance: the stale cursor re-exports
     // the same epochs — idempotent, still equals a full re-export
     Export.exportDailyIncremental(eng.transfers, spark, out,
-      sinceEpoch = Export.readCursor(out).get - 2, asOf = Long.MaxValue)
+      sinceEpoch = Export.readCursor(spark, out).get - 2, asOf = Long.MaxValue)
     val full = tmpDir("cur-full-out")
     Export.exportDaily(eng.currentTransfers(spark), full)
     def rows(dir: String) = spark.read.parquet(dir)

@@ -312,6 +312,7 @@ class OpsSpec extends SparkSpec {
       (3L, Array.emptyByteArray),
       // PNG magic but truncated body — the corrupt-payload fallback
       (4L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+      (5L, null: Array[Byte]), // NULL payload — must not NPE the task
     ).toDF("doc_id", "payload")
     val got = MultimodalOps.decodeImages(rows, "doc_id", "payload")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -324,6 +325,9 @@ class OpsSpec extends SparkSpec {
     assert(got(3L).getAs[String]("format") == "unknown")
     assert(got(4L).getAs[String]("format") == "unknown",
       "corrupt PNG must fall back, not throw")
+    assert(got(5L).getAs[String]("format") == "unknown" &&
+      got(5L).getAs[Long]("n_bytes") == 0L,
+      "null payload must take the fallback row")
   }
 
   test("language marker hits drive the guess; no hits → und") {
