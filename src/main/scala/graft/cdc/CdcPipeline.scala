@@ -1113,12 +1113,15 @@ final class CdcEngine(
     * re-enriched with the active dim, minus `excludeRepos` (keys the
     * caller is upserting this epoch anyway — their fresh upsert already
     * enriches with the current dim). None = no version is pending. The
-    * (asid × month) filter pushes to the parquet scan, so the read is
-    * O(affected), and re-enriching a row whose resolution did NOT change
-    * merely rewrites an identical version — the superset filter is safe.
+    * (asid × month) filter pushes to the parquet scan over compacted
+    * (single-file) buckets — the steady state (plan-asserted); buckets
+    * still holding unresolved deltas filter after last-writer-wins
+    * resolution, since a key's asid may change across versions.
+    * Re-enriching a row whose resolution did NOT change merely rewrites an
+    * identical version — the superset filter is safe.
     */
-  private def pendingReEnrich(spark: SparkSession, asOf: Long,
-                              excludeRepos: Option[DataFrame]): Option[DataFrame] = {
+  private[cdc] def pendingReEnrich(spark: SparkSession, asOf: Long,
+                                   excludeRepos: Option[DataFrame]): Option[DataFrame] = {
     import spark.implicits._
     val tbl = enriched.get
     val v0 = tbl.latestManifest()

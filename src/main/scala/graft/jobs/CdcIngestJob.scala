@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
   *                          maintains the third, enriched table
   *   GRAFT_STRICT_ODS=true  abort an epoch whose transfers lack dim
   *                          coverage (side-effect-free; see strictDimMonths)
+  *   GRAFT_DIM_UPDATE       optional dim-refresh delta (same formats as
+  *                          GRAFT_DIM_PATH), committed durably on the
+  *                          dimlog chain BEFORE the tail ingests — the
+  *                          operational path for a monthly ODS drop; its
+  *                          retro-correction rides the first epoch this
+  *                          run applies
+  *   GRAFT_DIM_UPDATE_VERSION  the delta's dim version (required with
+  *                          GRAFT_DIM_UPDATE; its own monotonic number
+  *                          space, disjoint from ingest epoch ids)
   *   GRAFT_PIPELINE=0       sequential applyEpoch loop instead of the
   *                          depth-1 pipelined applyEpochs (A/B control)
   *   SPARK_MASTER           defaults to local[*]; set by spark-submit on a
@@ -60,6 +69,15 @@ object CdcIngestJob {
     val eng = new CdcEngine(warehouse, numBuckets = buckets,
       cutoffMicros = cutoffDays * 24L * 3600 * 1000000L,
       dim = dim, dimMonths = dimMonths, strictDimMonths = strict)
+
+    env.get("GRAFT_DIM_UPDATE").foreach { p =>
+      require(dim.isDefined, "GRAFT_DIM_UPDATE requires GRAFT_DIM_PATH — " +
+        "there is no enriched table to refresh without a dim")
+      val version = env.getOrElse("GRAFT_DIM_UPDATE_VERSION",
+        throw new IllegalArgumentException(
+          "GRAFT_DIM_UPDATE_VERSION is required with GRAFT_DIM_UPDATE")).toLong
+      eng.applyDimUpdate(spark, Enrichment.loadDim(spark, p), version)
+    }
 
     val log = ChangeLogSource.readCsv(spark, inputs: _*).cache()
     try {

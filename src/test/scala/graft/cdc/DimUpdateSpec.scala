@@ -194,6 +194,35 @@ class DimUpdateSpec extends SparkSpec {
       "the rebuild must retry after a transient failure")
   }
 
+  test("pending retro-correction pushes its asid predicates to the parquet scan") {
+    // the O(affected) claim is a PLAN property: over COMPACTED (single-file)
+    // buckets — the steady state — the (asid × month) superset filter must
+    // reach the transfers parquet scan. (Buckets still holding unresolved
+    // deltas filter after last-writer-wins resolution: an asid may change
+    // across a key's versions, so pushing below the window would be wrong.)
+    val eng = new CdcEngine(tmpDir("dimplan"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    eng.applyEpoch(spark, log.filter(_.epoch == 0L), 0L) // one epoch → 1 file/bucket
+    val asid = CdcPipeline.classify(log.filter(_.epoch == 0L), 14 * day)
+      .select("requestingPracticeAsid").distinct().as[String].collect().min
+    eng.applyDimUpdate(spark, Seq(Enrichment.OrgDimRow(asid, "O-p", "P-p",
+      "S9", "SB9", 201912)).toDF(), version = 0L)
+    val re = eng.pendingReEnrich(spark, asOf = Long.MaxValue, excludeRepos = None)
+      .getOrElse(fail("a committed dim update must leave a pending set"))
+    val scans = re.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // a singleton asid set folds In → EqualTo; either form proves pushdown
+    val pushedAsid = scans.map(_.metadata("PushedFilters")).filter(p =>
+      (p.contains("In(requestingPracticeAsid") ||
+        p.contains("EqualTo(requestingPracticeAsid")) &&
+        (p.contains("In(sendingPracticeAsid") ||
+          p.contains("EqualTo(sendingPracticeAsid")))
+    assert(pushedAsid.nonEmpty,
+      s"asid IN-predicates must push to the transfers scan: " +
+        scans.map(_.metadata("PushedFilters")).mkString(" | "))
+  }
+
   test("dim updates are idempotent and independent replays converge") {
     def run(dir: String): CdcEngine = {
       val eng = new CdcEngine(dir, numBuckets = 8,

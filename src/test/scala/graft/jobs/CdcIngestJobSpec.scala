@@ -57,6 +57,58 @@ class CdcIngestJobSpec extends SparkSpec {
       cutoffMicros = 14 * day)) == want)
   }
 
+  test("a dim refresh through the front door retro-corrects and survives restart") {
+    val logDir = tmpDir("upd-log")
+    val halfDir = tmpDir("upd-log-half")
+    val wh = tmpDir("upd-wh") + "/w"
+    val log = ChangeLogGen.generate(spark, cfg)
+    ChangeLogSource.writeCsv(log, logDir)
+    ChangeLogSource.writeCsv(log.filter(_.epoch <= 1L), halfDir)
+    val dimPath = tmpDir("upd-dim") + "/dim"
+    val baseDim = graft.cdc.Enrichment.generateDim(spark, numAsids = 997,
+      yearMonths = Seq(201911, 201912))
+    baseDim.write.parquet(dimPath)
+    val env = Map("GRAFT_WAREHOUSE" -> wh, "GRAFT_BUCKETS" -> "8",
+      "GRAFT_DIM_PATH" -> dimPath)
+
+    // run 1: half the log, seed dim
+    CdcIngestJob.run(spark, env.updated("GRAFT_CDC_INPUT", halfDir))
+
+    // a refreshed 201912 snapshot for an asid present in epoch-0/1 rows
+    val asid = graft.cdc.CdcPipeline.classify(log.filter(_.epoch <= 1L), 14 * day)
+      .select("requestingPracticeAsid").distinct().as[String].collect().min
+    val delta = Seq(graft.cdc.Enrichment.OrgDimRow(asid, "O-upd",
+      "Practice (front-door refresh)", "S9", "SB9", 201912)).toDF()
+    val deltaPath = tmpDir("upd-delta") + "/delta"
+    delta.write.parquet(deltaPath)
+
+    // run 2: full log + the refresh — a DIFFERENT job process (fresh engine)
+    val r2 = CdcIngestJob.run(spark, env.updated("GRAFT_CDC_INPUT", logDir)
+      .updated("GRAFT_DIM_UPDATE", deltaPath)
+      .updated("GRAFT_DIM_UPDATE_VERSION", "1"))
+    assert(r2.appliedEpochs == 2, "only the tail epochs re-apply")
+
+    val eng = new CdcEngine(wh, numBuckets = 8, cutoffMicros = 14 * day,
+      dim = Some(baseDim))
+    // the retro-correction rode the first tail epoch
+    assert(eng.enriched.get.manifestAt(2L).get.lineage("reEnriched") > 0)
+    assert(eng.dimlog.get.manifestAt(1L).get.kind == "dim-update")
+    val names = eng.currentEnriched(spark)
+      .filter(col("requestingPracticeAsid") === asid)
+      .select("requesting_practice_name").distinct().as[String].collect().toSet
+    assert(names == Set("Practice (front-door refresh)"),
+      s"every row of $asid must carry the refreshed name, got $names")
+
+    // run 3 (idempotent replay of the same env): nothing changes
+    val head = eng.enriched.get.latestManifest().get
+    val r3 = CdcIngestJob.run(spark, env.updated("GRAFT_CDC_INPUT", logDir)
+      .updated("GRAFT_DIM_UPDATE", deltaPath)
+      .updated("GRAFT_DIM_UPDATE_VERSION", "1"))
+    assert(r3.appliedEpochs == 0)
+    assert(new CdcEngine(wh, numBuckets = 8, cutoffMicros = 14 * day,
+      dim = Some(baseDim)).enriched.get.latestManifest().get == head)
+  }
+
   test("GRAFT_STRICT_ODS without GRAFT_DIM_PATH fails fast, not silently non-strict") {
     val ex = intercept[IllegalArgumentException] {
       CdcIngestJob.run(spark, Map(
