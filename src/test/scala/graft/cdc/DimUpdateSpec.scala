@@ -343,6 +343,28 @@ class DimUpdateSpec extends SparkSpec {
     assert(eng.currentDimVersion == 50L)
   }
 
+  test("flushDimUpdates honors out-of-band compaction (no inline rewrite at a parked id)") {
+    // the review finding: a flush at a parked epoch id with inline
+    // compaction would treat every enriched file as beyond the retention
+    // horizon and resolve away versions changeRetention promised to keep —
+    // an engine configured for out-of-band maintenance must flush without
+    // compacting
+    val eng = new CdcEngine(tmpDir("dimflush-oob"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim),
+      inlineCompaction = false, compactThreshold = 2, changeRetention = 16)
+    (0L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    eng.applyDimUpdate(spark, delta, version = 0L)
+
+    val before = eng.enriched.get.latestManifest().get.files
+      .filter(_.epochAdded <= 3L).map(_.path).toSet
+    val n = eng.flushDimUpdates(spark, epoch = 100L)
+    assert(n > 0)
+    val after = eng.enriched.get.latestManifest().get.files
+      .filter(_.epochAdded <= 3L).map(_.path).toSet
+    assert(after == before,
+      "a flush on an out-of-band-compaction engine must not rewrite prior files")
+  }
+
   test("strictDimMonths without dimMonths is rejected at construction") {
     intercept[IllegalArgumentException] {
       new CdcEngine(tmpDir("strict-bad"), numBuckets = 4,
