@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains emit one machine-readable JSON line; the default
+// LoggedOutput strategy prefixes every forked-stdout line with "[info] ",
+// which has broken the driver's metric-line parse five rounds running.
+// Pass the child's stdout/stderr through raw, and drop the trailing
+// "[success] Total time" line, so the mains' final print IS the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

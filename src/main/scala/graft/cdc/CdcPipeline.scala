@@ -1039,9 +1039,17 @@ final class CdcEngine(
     *     incorporates, which is what makes the pending set derivable after
     *     a restart (`pendingReEnrich`).
     *
-    * Replaying an already-committed version is a no-op returning the
-    * existing manifest (the active dim already includes it, in-session or
-    * via `ensureDimState`). Returns the dimlog manifest of `version`.
+    * Replaying an already-committed version returns the existing manifest
+    * without touching the active dim — UNLESS this session's dim provably
+    * predates it (`version > dimVersion`: the commit landed but the fold
+    * crashed before the version advanced), in which case the COMMITTED
+    * rows are read back from the dimlog and folded. Folding the caller's
+    * file on replay would be wrong twice over: an OLD version's rows would
+    * overwrite newer dim rows for overlapping keys (durably corrupting
+    * subsequent enrichment, since the watermark still reports the newer
+    * version), and a CHANGED delta supplied under a committed version id
+    * would leak unpersisted rows into the session. Returns the dimlog
+    * manifest of `version`.
     */
   def applyDimUpdate(spark: SparkSession, dimDelta: DataFrame, version: Long): Manifest = {
     val dl = dimlog.getOrElse(throw new IllegalStateException(
@@ -1057,12 +1065,18 @@ final class CdcEngine(
       case Some(m) =>
         require(m.kind == "dim-update",
           s"version $version of the dimlog is already a '${m.kind}' commit")
-        // replay of a committed version: the delta is already durable, but
-        // THIS session's active dim may predate it (transient failure after
-        // the commit, before the fold) — fold again; last-writer-wins on
-        // (asid, yearMonth) makes the re-fold idempotent
-        foldDeltaIntoActive(delta)
-        if (version > dimVersion) dimVersion = version
+        // replay of a committed version: the delta is already durable.
+        // Fold ONLY when this session's dim predates it (commit landed,
+        // fold crashed before dimVersion advanced) — and fold the
+        // COMMITTED rows read back from the chain, not the caller's file,
+        // so a stale-version rerun can't overwrite newer dim rows and a
+        // changed file can't leak unpersisted rows (see docstring)
+        if (version > dimVersion) {
+          val committed = dl.changesSince(spark, version - 1, asOf = version)
+            .select(base.columns.map(col).toIndexedSeq: _*)
+          foldDeltaIntoActive(committed)
+          dimVersion = version
+        }
         return m
       case None =>
         dl.latestManifest().foreach { h =>

@@ -98,11 +98,15 @@ object Export {
     val fs = cursorFs(spark, outDir)
     val p = cursorPath(outDir)
     if (!fs.exists(p)) None
-    else {
+    // an unreadable cursor — zero-length, non-numeric, or failing the
+    // store's checksum after truncation — must not wedge the exporter:
+    // treat it as absent and fall back to the full re-export, which is
+    // documented idempotent (the next advance rewrites cursor + checksum)
+    else scala.util.Try {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
-    }
+    }.toOption
   }
 
   private def writeCursor(spark: org.apache.spark.sql.SparkSession,

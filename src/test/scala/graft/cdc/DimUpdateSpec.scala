@@ -371,4 +371,53 @@ class DimUpdateSpec extends SparkSpec {
         cutoffMicros = 14 * day, strictDimMonths = true)
     }
   }
+
+  private def namesAt(dim: DataFrame, ym: Int): Map[String, String] =
+    dim.filter(col("yearMonth") === ym && col("asid").isin(targetAsids: _*))
+      .select("asid", "name").as[(String, String)].collect().toMap
+
+  test("replaying a stale committed version cannot overwrite newer dim rows") {
+    val eng = new CdcEngine(tmpDir("dimstale"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    eng.applyDimUpdate(spark, delta, version = 2L)
+    val newer = targetAsids.map(a => Enrichment.OrgDimRow(a, s"O-$a-v5",
+      s"Practice $a (v5)", "S905", "SICBL 905", 201912)).toDF()
+    eng.applyDimUpdate(spark, newer, version = 5L)
+    val v5Names = namesAt(eng.currentDim.get, 201912)
+    assert(v5Names.values.forall(_.endsWith("(v5)")))
+    val dimHead = eng.dimlog.get.latestManifest().get
+
+    // a stale rerun (old GRAFT_DIM_UPDATE_VERSION, partial feed replay)
+    // must return the existing manifest and change NOTHING: the v2 rows
+    // must not shadow v5's for the overlapping (asid, yearMonth) keys
+    val m = eng.applyDimUpdate(spark, delta, version = 2L)
+    assert(m.epoch == 2L)
+    assert(eng.currentDimVersion == 5L, "version watermark must keep the head")
+    assert(namesAt(eng.currentDim.get, 201912) == v5Names,
+      "stale replay overwrote newer dim rows")
+    assert(eng.dimlog.get.latestManifest().get == dimHead, "no new commit")
+  }
+
+  test("a recovery replay folds the COMMITTED rows, not the caller's file") {
+    val dir = tmpDir("dimrecover")
+    // b models the crash-recovery session: its in-memory dim state pins
+    // BEFORE the commit (fold crashed after the manifest landed), then the
+    // caller replays the version — with a tampered delta file
+    val a = new CdcEngine(dir, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    val b = new CdcEngine(dir, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    assert(b.currentDimVersion == -1L) // pins b's state at the empty chain
+    a.applyDimUpdate(spark, delta, version = 2L)
+
+    val tampered = targetAsids.map(a0 => Enrichment.OrgDimRow(a0,
+      s"O-$a0-bad", "TAMPERED", "S999", "SICBL 999", 201912)).toDF()
+    val m = b.applyDimUpdate(spark, tampered, version = 2L)
+    assert(m.epoch == 2L)
+    assert(b.currentDimVersion == 2L, "recovery replay advances the version")
+    val names = namesAt(b.currentDim.get, 201912)
+    assert(names.nonEmpty && names.values.forall(_.endsWith("(refreshed)")),
+      s"recovery fold must use the committed rows, got $names")
+  }
 }

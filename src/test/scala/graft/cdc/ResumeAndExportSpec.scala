@@ -144,6 +144,28 @@ class ResumeAndExportSpec extends SparkSpec {
     assert(rows(out) == rows(full))
   }
 
+  test("a corrupt cursor falls back to the idempotent full export") {
+    val eng = new CdcEngine(tmpDir("badcur-export"), numBuckets = 8,
+      cutoffMicros = 14 * day)
+    val out = tmpDir("badcur-export-out")
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    assert(Export.exportDailyIncrementalResumable(eng.transfers, spark, out).nonEmpty)
+
+    // store-level truncation: a zero-length cursor must read as absent,
+    // not wedge the exporter with NumberFormatException
+    val cur = new java.io.File(out, "_graft_cursor")
+    java.nio.file.Files.write(cur.toPath, Array.emptyByteArray)
+    assert(Export.readCursor(spark, out).isEmpty)
+    val redone = Export.exportDailyIncrementalResumable(eng.transfers, spark, out)
+    assert(redone.nonEmpty, "corrupt cursor must trigger the full re-export")
+    assert(Export.readCursor(spark, out)
+      .contains(eng.transfers.latestManifest().get.epoch), "cursor healed")
+
+    // non-numeric garbage behaves the same way
+    java.nio.file.Files.write(cur.toPath, "not-a-number".getBytes("UTF-8"))
+    assert(Export.readCursor(spark, out).isEmpty)
+  }
+
   test("incremental export clears a day whose rows all moved away") {
     import graft.lake.LakeTable
     val t = new LakeTable(tmpDir("move") + "/t", numBuckets = 2,
