@@ -223,8 +223,9 @@ object SparkEntry {
         graft.functions.SimHash64Expr.simhash64(col("text")).as("simhash"))),
 
     // ---- near-dup: SimHash Hamming-LSH pair join (deterministic recall by
-    // pigeonhole; xxhash64-based sketch ⇒ rows-only; semantics pinned by
-    // the planted-pair OpsSpec test) ----
+    // pigeonhole at maxHamming=3 over 8 bands, so the oracle's brute-force
+    // all-pairs Hamming join over the SQL-recomputed simhashes is EXACT;
+    // semantics also pinned by the planted-pair OpsSpec test) ----
     "d08_simhash_dups" -> ((s, d) =>
       TextOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
@@ -408,6 +409,53 @@ object SparkEntry {
 
   private val errCodeSql =
     "CASE WHEN event_type = 'error' THEN CAST(FLOOR(value) AS BIGINT) END"
+
+  /** `(a * c) mod 2^64` in DuckDB for UBIGINT expression `a` and 64-bit
+    * constant `c`: the constant splits into 32-bit halves so every HUGEINT
+    * intermediate stays below 2^97 (HUGEINT caps at 2^127 — a direct
+    * 64×64 product could overflow it).
+    */
+  private def wrapMul64(a: String, c: Long): String = {
+    val lo = c & 0xffffffffL
+    val hi = c >>> 32
+    s"CAST(((CAST($a AS HUGEINT) * $lo + " +
+      s"((CAST($a AS HUGEINT) * $hi) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616) AS UBIGINT)"
+  }
+  private def xorShift(z: String, s: Int): String = s"xor($z, $z >> $s)"
+
+  /** Shared CTE chain recomputing the engine's SimHash per document in
+    * DuckDB, from raw text only: tokens = string_split(text, ' ') (empty
+    * tokens kept, matching Spark's split limit=-1), token hash =
+    * splitmix64(FNV-1a-64 over code points), bit i of the result = sign of
+    * the per-bit token vote. Ends in `simhashes(doc_id, u)` with `u` the
+    * unsigned 64-bit simhash. Mirrors `TextOps.simhashReference` line for
+    * line — constants verbatim from the FNV / splitmix64 specs.
+    */
+  private val simhashSqlCtes: String = {
+    val fnv =
+      "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), " +
+        "list_transform(regexp_extract_all(tok, '(?s).'), " +
+        "x -> CAST(unicode(x) AS UBIGINT))), " +
+        s"(acc, cp) -> ${wrapMul64("xor(acc, cp)", 0x100000001b3L)})"
+    s"""toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         ),
+         z1s AS (SELECT doc_id, ${wrapMul64(xorShift(fnv, 30), 0xbf58476d1ce4e5b9L)} AS z1 FROM toks),
+         z2s AS (SELECT doc_id, ${wrapMul64(xorShift("z1", 27), 0x94d049bb133111ebL)} AS z2 FROM z1s),
+         th  AS (SELECT doc_id, ${xorShift("z2", 31)} AS h FROM z2s),
+         votes AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+           GROUP BY doc_id, b
+         ),
+         simhashes AS (
+           SELECT doc_id,
+                  sum(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS u
+           FROM votes GROUP BY doc_id
+         )"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -670,18 +718,41 @@ object SparkEntry {
            ('Technical failure',    'Contains fatal sender error',                 5),
            ('Unclassified failure', 'Transferred, not integrated, with error',     6)
          ) AS t(status, "failureReason", n)""",
+    // ---- independent SimHash recomputation (r6): DuckDB re-derives the
+    // splitmix64∘FNV-1a simhash from the RAW TEXT — wrapping mod-2^64
+    // arithmetic spelled out as HUGEINT split-multiplies (constants split
+    // into 32-bit halves so no intermediate nears HUGEINT's cap). Third
+    // independent implementation of the spec: the codegen expression, the
+    // plain-Scala reference (SimHash64Spec pins those two bit-for-bit),
+    // and this SQL, which never reads engine output. ----
+    "d06_simhash" ->
+      s"""WITH $simhashSqlCtes
+         SELECT doc_id,
+                CAST(CASE WHEN u >= 9223372036854775808
+                          THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+                  AS simhash
+         FROM simhashes""",
+    // brute-force all-pairs Hamming join over the recomputed simhashes —
+    // exact, because the engine's 8-band pigeonhole LSH has deterministic
+    // 100% recall at maxHamming=3 (≤3 flipped bits can spoil ≤3 of 8 bands)
+    "d08_simhash_dups" ->
+      s"""WITH $simhashSqlCtes
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(bit_count(xor(a.u2, b.u2)) AS BIGINT) AS hamming
+         FROM (SELECT doc_id, CAST(u AS UBIGINT) AS u2 FROM simhashes) a
+         JOIN (SELECT doc_id, CAST(u AS UBIGINT) AS u2 FROM simhashes) b
+           ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.u2, b.u2)) <= 3""",
     // ---- pinned VALUES goldens (graft.goldens.Goldens, generated by
     // graft.tools.GoldenGen at sf0.01): deterministic engine-specific
-    // outputs DuckDB can't recompute relationally — xxhash64 sketches
-    // (d06/d08), seeded-k-means ANN (e02/e04), and the CDC engine's own
-    // classified/enriched tables (c01/c02, already content-pinned by the
-    // c03/c04/c05 checksum oracles — this moves the pin under the driver's
-    // rows+schema+hash gate). Regenerate via GoldenGen after parameter
-    // changes and review the diff like any golden update. ----
+    // outputs DuckDB can't recompute relationally — seeded-k-means /
+    // seeded-PQ ANN (e02/e04) and the CDC engine's own classified/enriched
+    // tables (c01/c02, already content-pinned by the c03/c04/c05 checksum
+    // oracles — this moves the pin under the driver's rows+schema+hash
+    // gate). Regenerate via GoldenGen after parameter changes and review
+    // the diff like any golden update. ----
     "c01_cdc_classify" -> graft.goldens.Goldens.c01_cdc_classify,
     "c02_cdc_enriched" -> graft.goldens.Goldens.c02_cdc_enriched,
-    "d06_simhash" -> graft.goldens.Goldens.d06_simhash,
-    "d08_simhash_dups" -> graft.goldens.Goldens.d08_simhash_dups,
     "e02_ann_ivf" -> graft.goldens.Goldens.e02_ann_ivf,
     "e04_ann_pq" -> graft.goldens.Goldens.e04_ann_pq,
     "m01_mm_features" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -15,11 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression with `doGenCode` (one static call in generated code; no
   * interpreted higher-order functions, no per-token object allocation).
   *
-  * Semantics are EXACTLY `TextOps.simhash` (the composed-functions version):
-  * tokens = `split(text, " ")` with Spark's limit=-1 semantics (consecutive
-  * and trailing separators yield empty tokens), token hash = xxhash64(bytes,
-  * seed 42) like Spark's `xxhash64`, bit i of the result = 1 iff the sum of
-  * (hash>>i & 1 ? +1 : −1) votes over tokens is positive.
+  * Semantics are EXACTLY `TextOps.simhash` (the composed-functions version,
+  * kept as the independently-reviewable second implementation): tokens =
+  * `split(text, " ")` with Spark's limit=-1 semantics (consecutive and
+  * trailing separators yield empty tokens), token hash =
+  * splitmix64(FNV-1a-64 over the token's Unicode CODE POINTS), bit i of
+  * the result = 1 iff the sum of (hash>>i & 1 ? +1 : −1) votes over tokens
+  * is positive. The hash is deliberately plain mod-2^64 arithmetic — xor,
+  * shifts, two constant multiplies — so the DuckDB correctness oracle
+  * recomputes it from the raw text in SQL (no engine output in the loop);
+  * splitmix64's finalizer gives the uniform bit mixing SimHash needs
+  * (Steele/Lea/Flood, "Fast Splittable Pseudorandom Number Generators",
+  * OOPSLA 2014).
   *
   * Measured ~40× over the HOF formulation on 5k docs: the HOF builds a
   * 64-element vote array object per token per row in interpreted mode.
@@ -43,30 +50,62 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64Expr {
-  private final val Seed = 42L
+  /** FNV-1a 64-bit offset basis / prime (public-domain Fowler–Noll–Vo). */
+  final val FnvBasis = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** splitmix64 finalizer (Steele/Lea/Flood 2014; public reference code). */
+  def mix(v0: Long): Long = {
+    var z = v0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   /** Single pass over the UTF-8 bytes; 0x20 never occurs inside a multi-byte
-    * UTF-8 sequence, so byte-level splitting is exact.
+    * UTF-8 sequence, so byte-level splitting is exact. Each token is FNV-1a
+    * folded over its decoded code points (code points, not bytes, so the
+    * SQL oracle's per-character `unicode()` recomputation matches on
+    * non-ASCII text too), then splitmix64-finalized.
     */
   def compute(s: UTF8String): Long = {
     val base = s.getBaseObject
     val offset = s.getBaseOffset
     val n = s.numBytes()
     val votes = new Array[Int](64)
-    var tokenStart = 0
+    var acc = FnvBasis // running FNV-1a over the current token's code points
     var i = 0
     while (i <= n) {
-      val atEnd = i == n
-      if (atEnd || org.apache.spark.unsafe.Platform.getByte(base, offset + i) == 0x20) {
-        val h = XXH64.hashUnsafeBytes(base, offset + tokenStart, i - tokenStart, Seed)
+      val b0 =
+        if (i == n) 0x20
+        else java.lang.Byte.toUnsignedInt(
+          org.apache.spark.unsafe.Platform.getByte(base, offset + i))
+      if (b0 == 0x20) { // token boundary (or end of input)
+        val h = mix(acc)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
-        tokenStart = i + 1
+        acc = FnvBasis
+        i += 1
+      } else {
+        // decode one UTF-8 code point (UTF8String guarantees validity)
+        var cp = 0
+        var len = 0
+        if (b0 < 0x80) { cp = b0; len = 1 }
+        else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
+        else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var k = 1
+        while (k < len) {
+          cp = (cp << 6) | (java.lang.Byte.toUnsignedInt(
+            org.apache.spark.unsafe.Platform.getByte(base, offset + i + k)) & 0x3f)
+          k += 1
+        }
+        acc = (acc ^ cp.toLong) * FnvPrime
+        i += len
       }
-      i += 1
     }
     var out = 0L
     var b = 0

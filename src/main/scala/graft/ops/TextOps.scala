@@ -230,20 +230,36 @@ object TextOps {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
-  /** 64-bit SimHash over word hashes — bit-vote fold as a pure aggregate
-    * expression (no UDF): votes[i] += (wordHash >> i) & 1 ? 1 : -1.
+  /** Reference SimHash — the independently-reviewable second implementation
+    * of `SimHash64Expr` (SimHash64Spec pins the two bit-for-bit on every
+    * fixture). Deliberately the NAIVE formulation over JVM strings and
+    * streams, sharing no code with the expression's unsafe byte-walk:
+    * tokens via `String.split(" ", -1)` (Spark's split semantics — empty
+    * tokens kept), token hash = splitmix64(FNV-1a-64 over code points),
+    * vote per bit, sign of the vote = the output bit. Driver-side only —
+    * the distributed path is the codegen'd expression.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), w => xxhash64(w))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  def simhashReference(text: String): Long = {
+    // constants verbatim from the published specs (FNV-1a 64; splitmix64
+    // finalizer, Steele/Lea/Flood OOPSLA 2014) — intentionally restated
+    // here rather than shared, so this implementation reviews standalone
+    def fnv1a(tok: String): Long = {
+      var acc = 0xcbf29ce484222325L
+      tok.codePoints().forEach(cp => acc = (acc ^ cp.toLong) * 0x100000001b3L)
+      acc
+    }
+    def splitmix64(v: Long): Long = {
+      var z = v
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val votes = new Array[Long](64)
+    text.split(" ", -1).foreach { tok =>
+      val h = splitmix64(fnv1a(tok))
+      (0 until 64).foreach(b => votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1))
+    }
+    (0 until 64).foldLeft(0L)((out, b) => if (votes(b) > 0) out | (1L << b) else out)
   }
 
   /** Hamming distance between two simhashes — bit_count(xor). */

@@ -4,9 +4,12 @@ import graft.SparkSpec
 import graft.ops.TextOps
 import org.apache.spark.sql.functions._
 
-/** The native expression must agree bit-for-bit with the composed-functions
-  * SimHash (same tokenization, same xxhash64 seed, same vote rule), survive
-  * codegen, and register as a SQL function.
+/** The native expression must agree bit-for-bit with the plain-Scala
+  * reference SimHash (same tokenization, same splitmix64∘FNV-1a token hash
+  * over code points, same vote rule — `TextOps.simhashReference`, the
+  * independently-written formulation), survive codegen, and register as a
+  * SQL function. The third implementation is the d06 DuckDB oracle SQL in
+  * SparkEntry, which the driver gate checks against the expression.
   */
 class SimHash64Spec extends SparkSpec {
   import spark.implicits._
@@ -23,13 +26,20 @@ class SimHash64Spec extends SparkSpec {
     "",
   ).zipWithIndex.map(_.swap)
 
-  test("native expression == HOF composition on every fixture") {
+  test("native expression == plain-Scala reference on every fixture") {
     val df = texts.toDF("id", "t")
-    val rows = df.select(
-      TextOps.simhash($"t").as("hof"),
-      SimHash64Expr.simhash64($"t").as("native")).collect()
-    rows.zip(texts).foreach { case (r, (_, t)) =>
-      assert(r.getLong(0) == r.getLong(1), s"mismatch for '$t'")
+    val native = df.orderBy("id")
+      .select(SimHash64Expr.simhash64($"t")).as[Long].collect()
+    texts.sortBy(_._1).map(_._2).zip(native).foreach { case (t, h) =>
+      assert(TextOps.simhashReference(t) == h, s"mismatch for '$t'")
+    }
+    // non-ASCII: the expression's UTF-8 byte-walk must agree with the
+    // reference's codePoints() stream on 2-, 3- and 4-byte sequences
+    val uni = Seq("café au lait", "héllo wörld", "日本語 テキスト", "emoji 😀 here")
+    val uniNative = uni.toDF("t").select(SimHash64Expr.simhash64($"t"))
+      .as[Long].collect()
+    uni.zip(uniNative).foreach { case (t, h) =>
+      assert(TextOps.simhashReference(t) == h, s"unicode mismatch for '$t'")
     }
   }
 
