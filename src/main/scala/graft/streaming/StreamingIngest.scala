@@ -20,17 +20,48 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object StreamingIngest {
 
+  /** Mid-stream dimension-refresh mailbox: a long-running ingest query has
+    * no natural between-batch hook, so callers `offer` versioned dim
+    * deltas here and the `foreachBatch` closure drains them — in offer
+    * order — BEFORE applying the next micro-batch. That batch then (a)
+    * enriches with the refreshed dim and (b) carries the retro-correction
+    * of already-committed rows in its enriched commit (`pendingReEnrich`),
+    * exactly like the batch flavour's `applyDimUpdate` + next epoch.
+    * Versions must be monotonic across offers (the dimlog contract); a
+    * crash between the dimlog commit and the next batch replays safely —
+    * the update is durable on its own manifest chain, and re-offering an
+    * already-committed version is a guarded no-op.
+    */
+  final class DimUpdateQueue {
+    private val q =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, DataFrame)]()
+    def offer(version: Long, delta: DataFrame): Unit = q.add((version, delta))
+    private[streaming] def drain(): Seq[(Long, DataFrame)] = {
+      val out = Seq.newBuilder[(Long, DataFrame)]
+      var next = q.poll()
+      while (next != null) { out += next; next = q.poll() }
+      out.result()
+    }
+  }
+
   def start(
       engine: CdcEngine,
       stream: Dataset[ChangeEvent],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
+      dimUpdates: Option[DimUpdateQueue] = None,
   ): StreamingQuery = {
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
+        // pending dim refreshes land first, on the micro-batch boundary:
+        // the engine is single-writer, and foreachBatch is its only writer
+        // thread while the query runs, so this is the one safe point
+        dimUpdates.foreach(_.drain().foreach { case (version, delta) =>
+          engine.applyDimUpdate(batch.sparkSession, delta, version)
+        })
         engine.applyEpoch(batch.sparkSession, batch, batchId)
         ()
       }

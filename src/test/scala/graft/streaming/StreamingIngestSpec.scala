@@ -113,6 +113,83 @@ class StreamingIngestSpec extends SparkSpec {
     log.unpersist()
   }
 
+  test("a mid-stream dim refresh lands between micro-batches and survives restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val cfg = GenConfig(numConversations = 60, hotConversations = 0,
+      hotFragments = 0, redeliveryPermille = 30, epochs = 3)
+    val log = ChangeLogGen.generate(spark, cfg).cache()
+    val months = Seq(201911, 201912)
+    def baseDim = Enrichment.generateDim(spark, numAsids = 997, yearMonths = months)
+    val targets = CdcPipeline.classify(log.filter(col("epoch") === 0L), 14 * day)
+      .select("requestingPracticeAsid").distinct().as[String]
+      .collect().sorted.take(2).toSeq
+    val delta = targets.map(a => Enrichment.OrgDimRow(a, s"O-$a-upd",
+      s"Practice $a (refreshed)", "S900", "SICBL 900", 201912)).toDF()
+
+    val wh = tmpDir("stream-dim-wh")
+    val srcDir = tmpDir("stream-dim-src")
+    val cp = tmpDir("stream-dim-cp")
+    def arrive(e: Long): Unit =
+      log.filter(col("epoch") === e).write.mode("append").parquet(srcDir)
+    def tail() = spark.readStream
+      .schema(spark.emptyDataset[ChangeEvent].schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(srcDir)
+      .as[ChangeEvent]
+    val counters =
+      Set("duplicatesDropped", "danglingAcks", "unknownPurpose", "negativeSla")
+    def rowMap(df: DataFrame): Map[String, String] = {
+      val cols = df.columns.filterNot(counters).sorted.map(col)
+      df.select(col("repo"), to_json(struct(cols.toIndexedSeq: _*)).as("j"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+
+    val engine = new CdcEngine(wh, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    val queue = new StreamingIngest.DimUpdateQueue
+    arrive(0L)
+    // a CONTINUOUS trigger — the refresh must land while the query runs
+    // (AvailableNow would terminate after draining epoch 0)
+    val q1 = StreamingIngest.start(engine, tail(), cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      dimUpdates = Some(queue))
+    q1.processAllAvailable()
+    // the refresh is offered while the query RUNS — no stop/start; the next
+    // micro-batch drains it, enriches with the new dim, and carries the
+    // retro-correction of the rows committed before the refresh
+    queue.offer(1L, delta)
+    arrive(1L)
+    q1.processAllAvailable(); q1.stop()
+    assert(engine.dimlog.get.latestManifest().get.epoch == 1L,
+      "dim update must be committed on the dimlog chain mid-stream")
+    val refreshedNames = engine.currentEnriched(spark)
+      .filter(col("requestingPracticeAsid").isin(targets: _*))
+      .select("requesting_practice_name").distinct().as[String].collect().toSet
+    assert(refreshedNames.nonEmpty &&
+      refreshedNames.forall(_.endsWith("(refreshed)")),
+      s"both pre- and post-refresh rows must enrich with the new dim: $refreshedNames")
+
+    // restart: new engine over the same warehouse (dim state rebuilt from
+    // the dimlog, no re-offer), new query on the same checkpoint
+    val resumed = new CdcEngine(wh, numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    arrive(2L)
+    val q2 = StreamingIngest.start(resumed, tail(), cp)
+    q2.processAllAvailable(); q2.stop()
+
+    // oracle: the batch flavour with the refresh at the same feed position
+    val beng = new CdcEngine(tmpDir("stream-dim-batch"), numBuckets = 8,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    beng.applyEpoch(spark, log.filter(col("epoch") === 0L), 0L)
+    beng.applyDimUpdate(spark, delta, 1L)
+    (1L to 2L).foreach(e => beng.applyEpoch(spark, log.filter(col("epoch") === e), e))
+    assert(rowMap(resumed.currentEnriched(spark)) ==
+      rowMap(beng.currentEnriched(spark)),
+      "streamed + mid-stream refresh must equal the batch flavour")
+    log.unpersist()
+  }
+
   test("a fully-committed epoch replays as a manifest-stat no-op") {
     val cfg = GenConfig(numConversations = 20, hotConversations = 0,
       hotFragments = 0, epochs = 2)
