@@ -33,7 +33,12 @@ import java.time.LocalDate
   *                                      its previous month both lack a dim
   *                                      snapshot, instead of null-padding
   *   GRAFT_CLASSIFY_MI=true             run the MI branch instead
-  *   GRAFT_MI_INPUT / GRAFT_MI_OUTPUT   MI JSON events dir → parquet dir
+  *   GRAFT_MI_INPUT / GRAFT_MI_OUTPUT   MI JSON events dir(s), comma-
+  *                                      separated → parquet dir
+  *   GRAFT_MI_INPUT_BASE                alternative to GRAFT_MI_INPUT: a
+  *                                      base whose v1/yyyy/mm/dd day
+  *                                      prefixes are resolved from the
+  *                                      window (s3_uri_resolver.py:89-104)
   */
 final case class PipelineConfig(
     window: ReportingWindow,
@@ -42,7 +47,7 @@ final case class PipelineConfig(
     dimPath: Option[String],
     strictOds: Boolean,
     classifyMi: Boolean,
-    miInput: Option[String],
+    miInputs: Seq[String],
     miOutput: Option[String],
 )
 
@@ -76,7 +81,13 @@ object PipelineConfig {
       dimPath = env.get("GRAFT_DIM_PATH"),
       strictOds = env.get("GRAFT_STRICT_ODS").contains("true"),
       classifyMi = classifyMi,
-      miInput = env.get("GRAFT_MI_INPUT"),
+      miInputs = env.get("GRAFT_MI_INPUT_BASE") match {
+        // window → day prefixes via the reference's v1 scheme, dates +
+        // overflow dates like its resolver (s3_uri_resolver.py:89-104)
+        case Some(base) => graft.cdc.UriResolver.miEvents(base, window.scanDays)
+        case None => env.get("GRAFT_MI_INPUT").toSeq
+          .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      },
       miOutput = env.get("GRAFT_MI_OUTPUT"),
     )
   }
@@ -121,12 +132,21 @@ object TransferPipelineJob {
 
   /** MI branch (reference MiRunner): JSON events → ordered fold → parquet. */
   def runMi(spark: SparkSession, cfg: PipelineConfig): Long = {
-    val in = cfg.miInput.getOrElse(
-      throw new IllegalArgumentException("GRAFT_MI_INPUT is required with GRAFT_CLASSIFY_MI"))
+    if (cfg.miInputs.isEmpty) throw new IllegalArgumentException(
+      "GRAFT_MI_INPUT or GRAFT_MI_INPUT_BASE is required with GRAFT_CLASSIFY_MI")
     val out = cfg.miOutput.getOrElse(
       throw new IllegalArgumentException("GRAFT_MI_OUTPUT is required with GRAFT_CLASSIFY_MI"))
+    // window-resolved day prefixes may not all exist (the reference reads
+    // an S3 listing, where an empty prefix is just empty) — drop absent
+    // dirs instead of failing the scan
+    val fs = new org.apache.hadoop.fs.Path(cfg.miInputs.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = cfg.miInputs.filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (present.isEmpty) throw new IllegalArgumentException(
+      s"none of the MI input prefixes exist: ${cfg.miInputs.mkString(",")}")
     val transfers = graft.mi.MiPipeline.toMiTransfers(
-      graft.mi.MiPipeline.readEvents(spark, in))
+      graft.mi.MiPipeline.readEventsArrival(spark, present))
     transfers.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     println(s"[graft] MI_TRANSFER_ROW_COUNT total=$n -> $out")

@@ -103,6 +103,32 @@ object MiPipeline {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventSchema).json(path)
 
+  /** Reference-format scan: the wire JSON carries NO `seq` — the reference
+    * processes MI events in prefix-listing order (`s3.py:111-126`), which
+    * its e2e pins as lexicographic file order. Feeds that already carry an
+    * explicit `seq` (the engine-native contract) keep it; otherwise every
+    * event is stamped with row_number over (file path, in-file position).
+    * The single global window is deliberate: the MI branch is the
+    * reference's small side pipeline (per-day JSON event files), not the
+    * 100-TB path — feeds at scale should ship an explicit `seq`.
+    */
+  def readEventsArrival(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    // multiLine: the reference's feed is one (pretty-printed) JSON object
+    // per S3 object (`s3.py:111-126` json.loads's each object body whole) —
+    // not ndjson like the engine-native `readEvents` contract
+    val raw = spark.read.schema(eventSchema).option("multiLine", true)
+      .json(paths: _*)
+    if (!raw.filter(col("seq").isNotNull).isEmpty) raw
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__file"), col("__pos"))
+      raw.withColumn("__file", input_file_name())
+        .withColumn("__pos", monotonically_increasing_id())
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .drop("__file", "__pos")
+    }
+  }
+
   /** Parse raw JSON strings (for embedded/streamed payloads). */
   def parseEvents(raw: DataFrame, jsonCol: String): DataFrame =
     raw.select(from_json(col(jsonCol), eventSchema).as("e")).select("e.*")
