@@ -49,8 +49,11 @@ object ApplyProfile {
     })
 
     val day = 24L * 3600 * 1000000L
+    // SPARK_GRAFT_EPOCHS=1 = the north-scale-shaped single batch, matching
+    // ScalingBench's config for like-for-like phase attribution
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "4").toInt
     val cfg = GenConfig(numConversations = conversations,
-      hotConversations = 4, hotFragments = 4096, epochs = 4)
+      hotConversations = 4, hotFragments = 4096, epochs = epochs)
     val log = ChangeLogGen.generate(spark, cfg)
       .repartition(spark.sparkContext.defaultParallelism).cache()
     println(s"events: ${log.count()}")
