@@ -92,6 +92,24 @@ object ScalingBench {
       (n, classifySec, applySec)
     }
 
+    // SPARK_GRAFT_LEG=<cpus>: run exactly ONE leg in THIS JVM and exit —
+    // the per-core-heap protocol (BENCH/BASELINE.md §2, round 6). The north
+    // rule compares a cluster of N executors to one of 4N: aggregate heap
+    // scales with the cluster. A single JVM with a fixed -Xmx hands the 4N
+    // leg a quarter of the N leg's per-core memory, and the round-6 profile
+    // showed exactly that artifact (fold job scaling 2.2× under GC pressure
+    // at a shared 8g, 0.75→0.78+ the moment the heap grows). The wrapper
+    // launches each leg as its own JVM with -Xmx ∝ cores (constant
+    // heap-per-core = real executor sizing) and combines the legs.
+    sys.env.get("SPARK_GRAFT_LEG").foreach { legCpus =>
+      val (n, c, a) = run(legCpus.toInt)
+      println(
+        f"""{"metric":"scaling_leg","cpus":${legCpus.toInt},"events":$n,""" +
+        f""""classify_sec":$c%.3f,"apply_sec":$a%.3f,""" +
+        f""""heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}}""")
+      return
+    }
+
     // SPARK_GRAFT_BRACKET=1: run N, 4N, N and average the two N legs — the
     // sandbox VM's speed drifts monotonically within a session (measured
     // 131k→171k ev/s across seven otherwise-identical runs), so a ratio of
