@@ -74,7 +74,9 @@ object ScalingBench {
             .createTempDirectory(java.nio.file.Paths.get(base), s"scale-$cpus")
           case None => java.nio.file.Files.createTempDirectory(s"scale-$cpus")
         }
-        val eng = new CdcEngine(wh.toString, numBuckets = 32, cutoffMicros = 14 * day)
+        // SPARK_GRAFT_ALIGNED=0: legacy per-commit-shuffle A/B leg
+        val eng = new CdcEngine(wh.toString, numBuckets = 32, cutoffMicros = 14 * day,
+          alignedCommits = !sys.env.get("SPARK_GRAFT_ALIGNED").contains("0"))
         // pipelined epochs by default; SPARK_GRAFT_PIPELINE=0 = sequential A/B
         val sec = Bench.timed(
           if (sys.env.get("SPARK_GRAFT_PIPELINE").contains("0"))

@@ -294,6 +294,32 @@ object CdcPipeline {
     val dataCols = df.columns.filterNot(shaExcluded).sorted.toIndexedSeq.map(col)
     df.withColumn("row_sha256", sha2(to_json(struct(dataCols: _*)), 256))
   }
+
+  /** Partition-local fold for the aligned (single-shuffle) epoch path: the
+    * input iterator is sorted by repo (sortWithinPartitions), so each
+    * session is one consecutive run — buffer a run, hand it to the same
+    * `applyGroup` the groupByKey path uses. Memory bound = one session's
+    * events, exactly like MapGroupsExec's per-group iterator (applyGroup
+    * hash-buffers the group either way). Output rows stay in their input
+    * partition, which is what lets the commits skip their own shuffles.
+    */
+  def foldPartition(events: Iterator[ApplyEvent], cutoffMicros: Long,
+                    currentEpoch: Long, keepParsed: Boolean): Iterator[ApplyOut] =
+    new scala.collection.AbstractIterator[ApplyOut] {
+      private val buf = events.buffered
+      private var cur: Iterator[ApplyOut] = Iterator.empty
+      def hasNext: Boolean = {
+        while (!cur.hasNext && buf.hasNext) {
+          val repo = buf.head.repo
+          val run = scala.collection.mutable.ArrayBuffer.empty[ApplyEvent]
+          while (buf.hasNext && buf.head.repo == repo) run += buf.next()
+          cur = applyGroup(repo, run.iterator, cutoffMicros, currentEpoch, keepParsed)
+        }
+        cur.hasNext
+      }
+      def next(): ApplyOut =
+        if (hasNext) cur.next() else Iterator.empty.next()
+    }
 }
 
 /** The incremental CDC engine: tails the change log epoch by epoch and
@@ -400,6 +426,20 @@ final class CdcEngine(
       * of only the compacted winners. 0 = compact everything eligible.
       */
     val changeRetention: Int = 0,
+    /** Single-shuffle epochs (default ON): the sessionize fold shuffles by
+      * the TABLE BUCKET key (bucket = f(repo), so sessions still arrive
+      * whole) instead of by raw repo, and every commit then consumes the
+      * cached fold output's physical partitioning as-is — the state,
+      * transfers and enriched writes stop paying a repartition shuffle
+      * each. One wide exchange per epoch total, ~one file per touched
+      * bucket per sink. The legacy per-commit-shuffle path stays for A/B
+      * (classification output is bit-identical — the fold is
+      * order-insensitive, ScalaCheck-pinned by IdempotenceProps).
+      * Parallelism of the fold equals the bucket count under this mode, so
+      * size `numBuckets` ≥ the cluster's cores (the bucket count is already
+      * the scale lever for touched-fraction pruning; `rebucket` grows it).
+      */
+    val alignedCommits: Boolean = true,
 ) {
   /** The dim in force for subsequent epoch enrichment — the constructor
     * `dim` (seed) overlaid with every committed `applyDimUpdate` delta.
@@ -798,12 +838,27 @@ final class CdcEngine(
     // cached: Datasets do NOT reuse shuffle files across separate actions,
     // so without the cache each sink re-runs the union+shuffle+fold
     // (measured 2.3× slower than materializing the fold output once)
-    val out = priorEvents.union(newApply)
-      .groupByKey(_.repo)
-      .flatMapGroups { (repo, it) =>
-        CdcPipeline.applyGroup(repo, it, cutoff, epoch, keepParsed)
-      }
-      .cache()
+    // Aligned mode: ONE exchange per epoch. Shuffle by the table bucket key
+    // (sessions stay whole — bucket = f(repo)), sort-within by repo, fold
+    // consecutive runs. Every commit then inherits this physical
+    // partitioning through the cache (all projections in between are
+    // narrow) and writes with no repartition of its own. groupByKey's
+    // MapGroupsExec sorts by key anyway, so the sort is not new cost —
+    // only the per-commit shuffles go away.
+    val folded =
+      if (alignedCommits)
+        priorEvents.union(newApply).toDF()
+          .repartition(state.currentNumBuckets, state.bucketCol)
+          .sortWithinPartitions("repo")
+          .as[ApplyEvent]
+          .mapPartitions(it => CdcPipeline.foldPartition(it, cutoff, epoch, keepParsed))
+      else
+        priorEvents.union(newApply)
+          .groupByKey(_.repo)
+          .flatMapGroups { (repo, it) =>
+            CdcPipeline.applyGroup(repo, it, cutoff, epoch, keepParsed)
+          }
+    val out = folded.cache()
     try {
       val upserts = CdcPipeline.withRowSha(
         out.filter(_.transfer.isDefined).map(_.transfer.get).toDF())
@@ -938,7 +993,8 @@ final class CdcEngine(
       // assumeNew: the fold already guarantees first-seen-only events
       state.appendNew(f.freshEvents, epoch, metadata = f.meta, lineage = f.lineage,
         touchedBuckets = Some(f.touched), assumeNew = true,
-        precomputedStats = Some(f.eventStats), compactInline = inlineCompaction)
+        precomputedStats = Some(f.eventStats), compactInline = inlineCompaction,
+        alignedInput = alignedCommits)
     }
     val transfersF = Future {
       desc("transfers commit (mergeDelta)")
@@ -946,7 +1002,10 @@ final class CdcEngine(
         transfers.mergeDelta(f.upserts, epoch,
           metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched),
           precomputedStats = if (sameBucketing) Some(f.transferStats) else None,
-          compactInline = inlineCompaction)
+          compactInline = inlineCompaction,
+          // the fold shuffled by STATE's bucket key — transfers can consume
+          // that partitioning only while the two tables bucket identically
+          alignedInput = alignedCommits && sameBucketing)
       else
         transfers.merge(f.upserts, epoch,
           metadata = f.meta, lineage = f.tLineage, touchedBuckets = Some(f.touched))
@@ -982,7 +1041,10 @@ final class CdcEngine(
               metadata = meta, lineage = f.tLineage,
               touchedBuckets = Some(f.touched),
               precomputedStats = if (sameB) Some(f.transferStats) else None,
-              compactInline = inlineCompaction)
+              compactInline = inlineCompaction,
+              // enrich is broadcast-join-only over the upserts, so the
+              // fold's partitioning survives to this write too
+              alignedInput = alignedCommits && sameB)
           case Some((c, n)) =>
             // retro rows change the per-bucket row set — stats/touched are
             // recomputed by the commit

@@ -646,6 +646,17 @@ final class LakeTable(
                    * commit latency stays flat.
                    */
                  compactInline: Boolean = true,
+                 /** true ⇒ the caller guarantees `upserts`' PHYSICAL
+                   * partitioning already co-locates each bucket's rows
+                   * (the engine's fold shuffle keys on this table's
+                   * bucketCol, and every projection in between is narrow)
+                   * — the commit then writes with NO repartition of its
+                   * own: zero additional shuffle, ~one file per touched
+                   * bucket. Correctness does not depend on the contract
+                   * (the manifest lists whatever files land under each
+                   * bucket dir); a broken contract only multiplies files.
+                   */
+                 alignedInput: Boolean = false,
                  /** Manifest kind of this commit. Non-"write" callers (e.g.
                    * the engine's dim-update re-enrichment) stamp their own
                    * kind so an ingest epoch colliding with their id fails
@@ -670,11 +681,16 @@ final class LakeTable(
     val stats: Map[Int, BucketStats] =
       if (touched.isEmpty) Map.empty
       else {
-        val salt = effectiveSalt(precomputedStats.filter(_.nonEmpty)
-          .map(_.values.map(_.rows).max))
-        withBucket
-          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * salt,
-            col("__bucket"), saltColFor(salt))
+        val writeReady =
+          if (alignedInput) withBucket // consume the fold's partitioning as-is
+          else {
+            val salt = effectiveSalt(precomputedStats.filter(_.nonEmpty)
+              .map(_.values.map(_.rows).max))
+            withBucket.repartition(
+              math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * salt,
+              col("__bucket"), saltColFor(salt))
+          }
+        writeReady
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
@@ -731,7 +747,12 @@ final class LakeTable(
                   */
                 precomputedStats: Option[Map[Int, BucketStats]] = None,
                 /** false ⇒ skip inline compaction (see mergeDelta). */
-                compactInline: Boolean = true): Manifest = {
+                compactInline: Boolean = true,
+                /** Pre-bucket-partitioned input — see mergeDelta. Only
+                  * meaningful with `assumeNew` (the anti-join path shuffles
+                  * anyway, destroying the alignment).
+                  */
+                alignedInput: Boolean = false): Manifest = {
     if (Files.exists(manifestPath(epoch)))
       return committedAs(epoch, "write")
 
@@ -767,11 +788,16 @@ final class LakeTable(
     val stats: Map[Int, BucketStats] =
       if (touched.isEmpty) Map.empty
       else {
-        val salt = effectiveSalt(precomputedStats.filter(_ => assumeNew)
-          .filter(_.nonEmpty).map(_.values.map(_.rows).max))
-        fresh
-          .repartition(math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * salt,
-            col("__bucket"), saltColFor(salt))
+        val writeReady =
+          if (alignedInput && assumeNew) fresh // fold partitioning as-is
+          else {
+            val salt = effectiveSalt(precomputedStats.filter(_ => assumeNew)
+              .filter(_.nonEmpty).map(_.values.map(_.rows).max))
+            fresh.repartition(
+              math.max(1, math.min(parent.map(_.numBuckets).getOrElse(numBuckets), touched.size)) * salt,
+              col("__bucket"), saltColFor(salt))
+          }
+        writeReady
           .sortWithinPartitions((col("__bucket") +: keyColumns.map(col)): _*)
           .write.mode(SaveMode.Overwrite).option("compression", LakeTable.compression).partitionBy("__bucket")
           .parquet(s"$root/$epochDirRel")
