@@ -858,11 +858,19 @@ final class CdcEngine(
           .flatMapGroups { (repo, it) =>
             CdcPipeline.applyGroup(repo, it, cutoff, epoch, keepParsed)
           }
-    val out = folded.cache()
+    // cached COLUMNAR (DataFrame of two top-level structs), and the sink
+    // projections below stay columnar too: InMemoryRelation prunes whole
+    // top-level columns, so the transfers commit never reads the cached
+    // `event` bytes (content strings — the dominant bytes) and the state
+    // commit never reads `transfer`. The previous typed projections
+    // (.filter(_.transfer.isDefined).map(_.transfer.get)) deserialized the
+    // ENTIRE row per sink — 15.4 GB of cache reads per 8.3M-event epoch,
+    // the memory-bandwidth term the scaling profile flagged at 4N cores.
+    val out = folded.toDF().cache()
     try {
       val upserts = CdcPipeline.withRowSha(
-        out.filter(_.transfer.isDefined).map(_.transfer.get).toDF())
-      val freshRaw = out.filter(_.event.isDefined).map(_.event.get).toDF()
+        out.where(col("transfer").isNotNull).select(col("transfer.*")))
+      val freshRaw = out.where(col("event").isNotNull).select(col("event.*"))
       val freshEvents = (if (storeParsedState) freshRaw else freshRaw.drop("parsed"))
         .withColumn("content_sha256", sha2(col("content"), 256))
 
@@ -886,7 +894,7 @@ final class CdcEngine(
         case None => lit(0L)
       }
       desc("fold + epoch summary")
-      val summary = out.toDF().select(
+      val summary = out.select(
           coalesce(col("transfer.repo"), col("event.repo")).as("repo"),
           col("event").isNotNull.cast("long").as("isE"),
           col("transfer").isNotNull.cast("long").as("isT"),
@@ -1338,7 +1346,7 @@ object CdcEngine {
     */
   private[cdc] final case class FoldResult(
       epoch: Long,
-      out: Dataset[CdcPipeline.ApplyOut],
+      out: DataFrame,
       upserts: DataFrame,
       freshEvents: DataFrame,
       touched: Set[Int],

@@ -26,25 +26,35 @@ object ApplyProfile {
     import spark.implicits._
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String, Long)]()
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
     val scanBytes = new java.util.concurrent.atomic.AtomicLong()
+    // per-job EXECUTOR CPU ns (sum over tasks, via the stage→job map): the
+    // noise-resistant metric on this shared box — wall-clock swings with
+    // disk/neighbor contention, task CPU doesn't
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val jobCpu = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(js.stageInfos.headOption.map(_.name)).getOrElse("?")
         jobs.put(js.jobId, (js.time, desc.take(90)))
+        jobCpu.put(js.jobId, new java.util.concurrent.atomic.AtomicLong())
+        js.stageInfos.foreach(si => stageJob.put(si.stageId, js.jobId))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(je.jobId)).foreach { case (t0, desc) =>
-          done.add((je.jobId, je.time - t0, desc))
+          done.add((je.jobId, je.time - t0, desc,
+            Option(jobCpu.remove(je.jobId)).map(_.get()).getOrElse(0L)))
         }
       }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null) {
           shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
           scanBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+          Option(stageJob.get(te.stageId)).map(jobCpu.get).filter(_ != null)
+            .foreach(_.addAndGet(te.taskMetrics.executorCpuTime))
         }
     })
 
@@ -78,12 +88,14 @@ object ApplyProfile {
       val rows = done.iterator()
       println(f"---- epoch $e: wall $wall%.2fs ----")
       var sum = 0L
+      var cpuSum = 0L
       while (rows.hasNext) {
-        val (id, ms, desc) = rows.next()
+        val (id, ms, desc, cpuNs) = rows.next()
         sum += ms
-        println(f"  job $id%3d  ${ms / 1000.0}%6.2fs  $desc")
+        cpuSum += cpuNs
+        println(f"  job $id%3d  ${ms / 1000.0}%6.2fs wall  ${cpuNs / 1e9}%6.2fs cpu  $desc")
       }
-      println(f"  (job time sum ${sum / 1000.0}%.2fs vs wall $wall%.2fs — gap = driver-side)")
+      println(f"  (job wall sum ${sum / 1000.0}%.2fs vs epoch wall $wall%.2fs — gap = driver-side; task cpu sum ${cpuSum / 1e9}%.2fs)")
       println(f"  shuffle bytes written ${shuffleBytes.get()}%,d  input bytes read ${scanBytes.get()}%,d")
     }
     spark.stop()
