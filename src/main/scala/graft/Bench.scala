@@ -12,6 +12,22 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Print the metric line now AND re-emit it from a JVM shutdown hook,
+    * straight to fd 1: non-forked `runMain` shares sbt's JVM and sbt prints
+    * its own [success]/timing lines after main returns — the hook fires
+    * after all of that, making the bare JSON the machine-readable FINAL
+    * stdout line of an sbt batch capture (the driver tail-parses it).
+    */
+  def emitFinalLine(line: String): Unit = {
+    println(line)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val out = new java.io.PrintStream(
+        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+      out.println(line)
+      out.flush()
+    }))
+  }
+
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
@@ -171,18 +187,7 @@ object Bench {
       s""""cdc_events":$events,"cdc_apply_events_per_sec":$evPerSec,""" +
       s""""cdc_classify_events_per_sec":${(events / classifySec).toLong},"cpus":"$cpus",""" +
       f""""control_cpu_sec":$controlCpuSec%.3f,"control_eff":$controlEff%.3f}"""
-    println(line)
-    // the driver tail-parses an sbt-decorated capture and has recorded
-    // "parsed": null five rounds running — sbt prints its own [success]/
-    // timing lines AFTER main returns. Non-forked runMain shares sbt's JVM,
-    // so a shutdown hook fires after ALL sbt output: re-emit the bare JSON
-    // there, straight to fd 1, making it the machine-readable final line.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val out = new java.io.PrintStream(
-        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-      out.println(line)
-      out.flush()
-    }))
+    emitFinalLine(line)
     spark.stop()
   }
 }

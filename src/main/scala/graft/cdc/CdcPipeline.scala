@@ -295,6 +295,30 @@ object CdcPipeline {
     df.withColumn("row_sha256", sha2(to_json(struct(dataCols: _*)), 256))
   }
 
+  /** Exact bucket→partition placement for the aligned fold shuffle.
+    * `repartition(n, bucketCol)` murmur3-hashes the bucket VALUE into n
+    * slots — balls-in-bins leaves ~1/e of the partitions empty and stacks
+    * 2–4 buckets on others, a straggler tail the parallel leg pays
+    * directly. probes(b) is an int x with pmod(murmur3(x, 42), n) == b
+    * (42 = HashPartitioning's seed), so keying the shuffle on
+    * element_at(probes, bucket+1) places every bucket in ITS OWN
+    * partition: equal-size fold tasks and exactly one file per touched
+    * bucket per sink. Driver-side cost: a few hundred hashInt probes,
+    * once per epoch.
+    */
+  def partitionProbes(n: Int): Seq[Int] = {
+    val found = new Array[Integer](n)
+    var remaining = n
+    var x = 0
+    while (remaining > 0) {
+      val b = java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42), n)
+      if (found(b) == null) { found(b) = Integer.valueOf(x); remaining -= 1 }
+      x += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(found.map(_.intValue))
+  }
+
   /** Partition-local fold for the aligned (single-shuffle) epoch path: the
     * input iterator is sorted by repo (sortWithinPartitions), so each
     * session is one consecutive run — buffer a run, hand it to the same
@@ -846,12 +870,18 @@ final class CdcEngine(
     // MapGroupsExec sorts by key anyway, so the sort is not new cost —
     // only the per-commit shuffles go away.
     val folded =
-      if (alignedCommits)
+      if (alignedCommits) {
+        // exact 1:1 bucket→partition placement (see partitionProbes): the
+        // shuffle key is a function of the bucket, which is a function of
+        // repo — sessions still arrive whole
+        val nb = state.currentNumBuckets
         priorEvents.union(newApply).toDF()
-          .repartition(state.currentNumBuckets, state.bucketCol)
+          .repartition(nb, element_at(
+            typedLit(CdcPipeline.partitionProbes(nb)), state.bucketCol + lit(1)))
           .sortWithinPartitions("repo")
           .as[ApplyEvent]
           .mapPartitions(it => CdcPipeline.foldPartition(it, cutoff, epoch, keepParsed))
+      }
       else
         priorEvents.union(newApply)
           .groupByKey(_.repo)

@@ -15,8 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression with `doGenCode` (one static call in generated code; no
   * interpreted higher-order functions, no per-token object allocation).
   *
-  * Semantics are EXACTLY `TextOps.simhash` (the composed-functions version,
-  * kept as the independently-reviewable second implementation): tokens =
+  * Semantics are EXACTLY `TextOps.simhashReference` (the plain-Scala
+  * second implementation `SimHash64Spec` pins bit-for-bit): tokens =
   * `split(text, " ")` with Spark's limit=-1 semantics (consecutive and
   * trailing separators yield empty tokens), token hash =
   * splitmix64(FNV-1a-64 over the token's Unicode CODE POINTS), bit i of
@@ -28,8 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Steele/Lea/Flood, "Fast Splittable Pseudorandom Number Generators",
   * OOPSLA 2014).
   *
-  * Measured ~40× over the HOF formulation on 5k docs: the HOF builds a
-  * 64-element vote array object per token per row in interpreted mode.
+  * Measured ~40× over a composed-HOF formulation on 5k docs: the HOF
+  * builds a 64-element vote array object per token per row in interpreted
+  * mode.
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -90,13 +91,19 @@ object SimHash64Expr {
         acc = FnvBasis
         i += 1
       } else {
-        // decode one UTF-8 code point (UTF8String guarantees validity)
+        // decode one UTF-8 code point. UTF8String is NOT validated (e.g.
+        // CAST(binary AS STRING) wraps raw bytes), so clamp continuation
+        // reads at the buffer end: a truncated multi-byte sequence hashes
+        // its available bytes deterministically instead of reading out of
+        // bounds, and `i` can never jump past n (the i == n end-of-input
+        // boundary above always fires, so the final token is never lost)
         var cp = 0
         var len = 0
         if (b0 < 0x80) { cp = b0; len = 1 }
         else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
         else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
         else { cp = b0 & 0x07; len = 4 }
+        if (len > n - i) len = n - i
         var k = 1
         while (k < len) {
           cp = (cp << 6) | (java.lang.Byte.toUnsignedInt(

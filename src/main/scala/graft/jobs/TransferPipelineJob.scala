@@ -49,6 +49,12 @@ final case class PipelineConfig(
     classifyMi: Boolean,
     miInputs: Seq[String],
     miOutput: Option[String],
+    /** true = the reference's wire shape (one JSON object per file, no seq,
+      * arrival order stamped from the listing) — set when the inputs came
+      * from GRAFT_MI_INPUT_BASE. false = engine-native ndjson with explicit
+      * seq (GRAFT_MI_INPUT).
+      */
+    miReferenceFormat: Boolean = false,
 )
 
 object PipelineConfig {
@@ -89,6 +95,7 @@ object PipelineConfig {
           .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       },
       miOutput = env.get("GRAFT_MI_OUTPUT"),
+      miReferenceFormat = env.contains("GRAFT_MI_INPUT_BASE"),
     )
   }
 }
@@ -146,7 +153,8 @@ object TransferPipelineJob {
     if (present.isEmpty) throw new IllegalArgumentException(
       s"none of the MI input prefixes exist: ${cfg.miInputs.mkString(",")}")
     val transfers = graft.mi.MiPipeline.toMiTransfers(
-      graft.mi.MiPipeline.readEventsArrival(spark, present))
+      graft.mi.MiPipeline.readEventsArrival(spark, present,
+        referenceFormat = cfg.miReferenceFormat))
     transfers.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     println(s"[graft] MI_TRANSFER_ROW_COUNT total=$n -> $out")

@@ -103,23 +103,30 @@ object MiPipeline {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventSchema).json(path)
 
-  /** Reference-format scan: the wire JSON carries NO `seq` — the reference
-    * processes MI events in prefix-listing order (`s3.py:111-126`), which
-    * its e2e pins as lexicographic file order. Feeds that already carry an
-    * explicit `seq` (the engine-native contract) keep it; otherwise every
-    * event is stamped with row_number over (file path, in-file position).
+  /** MI event scan with an EXPLICIT format, chosen by the caller (probing
+    * the data for a format is both an extra full scan and wrong on mixed
+    * feeds — the caller always knows which contract it resolved).
+    *
+    * `referenceFormat = true`: one (pretty-printed) JSON object per file,
+    * the reference's S3 wire shape (`s3.py:111-126` json.loads's each
+    * object body whole), which carries NO `seq` — every event is stamped
+    * with row_number over (file path, in-file position), reproducing the
+    * reference's prefix-listing order (lexicographic, pinned by its e2e).
     * The single global window is deliberate: the MI branch is the
     * reference's small side pipeline (per-day JSON event files), not the
     * 100-TB path — feeds at scale should ship an explicit `seq`.
+    *
+    * `referenceFormat = false`: engine-native ndjson (one event per line,
+    * `readEvents` contract) with an explicit `seq` on every event — read
+    * as-is; multiLine parsing here would silently keep only the FIRST
+    * event of each file.
     */
-  def readEventsArrival(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    // multiLine: the reference's feed is one (pretty-printed) JSON object
-    // per S3 object (`s3.py:111-126` json.loads's each object body whole) —
-    // not ndjson like the engine-native `readEvents` contract
-    val raw = spark.read.schema(eventSchema).option("multiLine", true)
-      .json(paths: _*)
-    if (!raw.filter(col("seq").isNotNull).isEmpty) raw
+  def readEventsArrival(spark: SparkSession, paths: Seq[String],
+                        referenceFormat: Boolean = true): DataFrame =
+    if (!referenceFormat) spark.read.schema(eventSchema).json(paths: _*)
     else {
+      val raw = spark.read.schema(eventSchema).option("multiLine", true)
+        .json(paths: _*)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("__file"), col("__pos"))
       raw.withColumn("__file", input_file_name())
@@ -127,7 +134,6 @@ object MiPipeline {
         .withColumn("seq", row_number().over(w).cast("long"))
         .drop("__file", "__pos")
     }
-  }
 
   /** Parse raw JSON strings (for embedded/streamed payloads). */
   def parseEvents(raw: DataFrame, jsonCol: String): DataFrame =

@@ -31,11 +31,31 @@ object StreamingIngest {
     * crash between the dimlog commit and the next batch replays safely —
     * the update is durable on its own manifest chain, and re-offering an
     * already-committed version is a guarded no-op.
+    *
+    * DURABILITY BOUNDARY: `offer` is a mailbox drop, not a commit — an
+    * offered delta becomes durable only when a subsequent micro-batch
+    * runs. A query that stops (or never fires a trigger on a quiet
+    * stream) leaves offered deltas in process memory. Callers shutting
+    * down must therefore `flushAfterStop` once the query has terminated
+    * (the engine is single-writer: while the query runs, the foreachBatch
+    * thread is the only legal `applyDimUpdate` caller), or re-offer after
+    * restart — both are safe, the dimlog version guard makes replays
+    * no-ops.
     */
   final class DimUpdateQueue {
     private val q =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, DataFrame)]()
     def offer(version: Long, delta: DataFrame): Unit = q.add((version, delta))
+    /** Offers not yet drained by a micro-batch (check before stopping). */
+    def pending: Int = q.size()
+    /** Commit any undrained offers directly — call ONLY after the owning
+      * query has terminated (single-writer rule). Returns versions applied.
+      */
+    def flushAfterStop(spark: org.apache.spark.sql.SparkSession,
+                       engine: CdcEngine): Seq[Long] =
+      drain().map { case (version, delta) =>
+        engine.applyDimUpdate(spark, delta, version); version
+      }
     private[streaming] def drain(): Seq[(Long, DataFrame)] = {
       val out = Seq.newBuilder[(Long, DataFrame)]
       var next = q.poll()

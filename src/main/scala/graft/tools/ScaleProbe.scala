@@ -84,8 +84,20 @@ object ScaleProbe {
           shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
-    if (!new java.io.File(s"$outDir/documents.parquet").exists())
+    // reuse is keyed on the synth PARAMETERS, not bare directory existence —
+    // a rerun with different reps/sf must not silently probe stale data
+    // while stamping the new reps into the result line
+    val paramsStamp = s"reps=$reps sf=$sfDir"
+    val paramsFile = new java.io.File(s"$outDir/_graft_synth_params")
+    val reusable = new java.io.File(s"$outDir/documents.parquet").exists() &&
+      paramsFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(paramsFile.toPath),
+        "UTF-8").trim == paramsStamp
+    if (!reusable) {
       synthesize(spark, sfDir, outDir, reps)
+      java.nio.file.Files.write(paramsFile.toPath,
+        paramsStamp.getBytes("UTF-8"))
+    }
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
     val nDocs = docs.count()
@@ -106,20 +118,21 @@ object ScaleProbe {
       (name, sec, shuffleBytes.get(), rows)
     }
 
+    // d09 consumes d05's persisted pair set, so each probe's wall/shuffle
+    // attributes to the operator it certifies (re-running the band join
+    // inside d09's timed region would double-count d05's cost there)
+    val pairs = TextOps.minhashNearDups(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5).persist()
     val results = Seq(
       // gate-scale levers, 10× the corpus: the banded join must stay
       // bucket-bound (shuffle bytes ~linear in docs, not quadratic)
       probe("d05_minhash_dups") {
-        TextOps.minhashNearDups(docs, "doc_id", "text",
-          k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5).count()
+        pairs.count() // materializes the persisted join — timed = the join
       },
       // pointer jumping must converge in O(log diameter) rounds — THROWS
       // on non-convergence, so completing IS the certification
       probe("d09_dup_clusters") {
-        GraphOps.connectedComponents(
-          TextOps.minhashNearDups(docs, "doc_id", "text",
-            k = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
-            .select(col("a"), col("b"))).count()
+        GraphOps.connectedComponents(pairs.select(col("a"), col("b"))).count()
       },
       // gate levers (16 cells) vs sqrt(n)-scaled levers (~128 cells):
       // the scale path keeps per-query scanned fraction ≈ nprobe/cells
@@ -136,6 +149,7 @@ object ScaleProbe {
           "embedding", model, k = 5, nprobe = 16).count()
       },
     )
+    pairs.unpersist()
 
     val qs = results.map { case (n, sec, b, rows) =>
       f""""$n":{"sec":$sec%.3f,"shuffle_bytes":$b,"rows":$rows}"""
@@ -145,13 +159,7 @@ object ScaleProbe {
     val line =
       s"""{"metric":"scale_probe","docs":$nDocs,"vecs":$nVecs,"reps":$reps,""" +
         f""""queries":$qs,"control_cpu_sec":$controlCpuSec%.3f,"control_eff":$controlEff%.3f}"""
-    println(line)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val out = new java.io.PrintStream(
-        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-      out.println(line)
-      out.flush()
-    }))
+    Bench.emitFinalLine(line)
     spark.stop()
   }
 }

@@ -160,4 +160,32 @@ class PlanSpec extends SparkSpec {
     val calls = "QualityStatsExpr\\.compute".r.findAllIn(code).length
     assert(calls == 1, s"expected exactly one compute() call site, got $calls")
   }
+
+  test("partitionProbes invert HashPartitioning: pmod(murmur3(x,42),n) == index") {
+    for (n <- Seq(1, 2, 3, 4, 8, 16, 32, 64, 100)) {
+      val p = graft.cdc.CdcPipeline.partitionProbes(n)
+      assert(p.size == n)
+      p.zipWithIndex.foreach { case (x, b) =>
+        assert(java.lang.Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42), n) == b,
+          s"probe $x for bucket $b of $n") }
+    }
+  }
+
+  test("aligned fold shuffle places each bucket in exactly its own partition") {
+    // validates the seed-42 assumption against the REAL repartition
+    // machinery: hash-keying on the bucket value directly leaves ~1/e of
+    // partitions empty (straggler tail on the parallel leg); the probe key
+    // must give a perfect 1:1 bucket→partition placement
+    val n = 16
+    val probes = graft.cdc.CdcPipeline.partitionProbes(n)
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("__b", pmod(xxhash64(col("id")), lit(n)).cast("int"))
+      .repartition(n, element_at(typedLit(probes), col("__b") + lit(1)))
+    val per = df.groupBy(spark_partition_id().as("p"))
+      .agg(countDistinct(col("__b")).as("nb")).collect()
+    assert(per.length == n, s"expected $n non-empty partitions: ${per.length}")
+    assert(per.forall(_.getLong(1) == 1L),
+      s"every partition must hold exactly one bucket: ${per.mkString(",")}")
+  }
 }

@@ -60,6 +60,31 @@ class SimHash64Spec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("invalid UTF-8 (truncated multi-byte tail) is hashed in-bounds, never dropped") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // UTF8String is not validated (CAST(binary AS STRING) wraps raw bytes):
+    // a dangling lead byte at the end must not read past the buffer, and
+    // the token containing it must still vote (the pre-fix walk jumped
+    // i past n, skipping the end-of-input flush — last token lost)
+    def h(bytes: Array[Byte]): Long =
+      SimHash64Expr.compute(UTF8String.fromBytes(bytes))
+    val okPrefix = "alpha ".getBytes("UTF-8")
+    val dangling2 = okPrefix :+ 0xC3.toByte               // 2-byte lead, no tail
+    val dangling3 = okPrefix ++ Array(0xE2.toByte, 0x82.toByte) // 3-byte, one tail
+    val dangling4 = okPrefix :+ 0xF0.toByte               // 4-byte lead alone
+    // terminates, deterministic
+    assert(h(dangling2) == h(dangling2))
+    assert(h(dangling3) == h(dangling3))
+    assert(h(dangling4) == h(dangling4))
+    // the dangling token CONTRIBUTES: differs from the same text whose last
+    // token is empty (what silently dropping the tail would collapse to)
+    assert(h(dangling2) != h(okPrefix),
+      "truncated trailing sequence must not be silently dropped")
+    // valid text is untouched by the bounds clamp
+    assert(h("alpha beta".getBytes("UTF-8")) ==
+      TextOps.simhashReference("alpha beta"))
+  }
+
   test("whole-stage codegen path evaluates (no interpreted fallback errors)") {
     val n = spark.range(2000).select(concat(lit("tok word "), $"id".cast("string")).as("t"))
     val distinctHashes = n.select(SimHash64Expr.simhash64($"t")).distinct().count()

@@ -96,4 +96,31 @@ class MiE2eSpec extends SparkSpec {
     assert(got.toSeq == expected.sortBy(_._1),
       s"MI e2e output diverges from the reference's expected transfers")
   }
+
+  test("GRAFT_MI_INPUT (engine-native ndjson, many events per file) keeps every event") {
+    // regression: routing the legacy ndjson contract through the
+    // reference-format multiLine read would silently keep only the FIRST
+    // event of each file — the format must follow the env key, not a probe
+    val dir = tmpDir("mi-ndjson")
+    MiGen.generate(spark, 10).coalesce(2).write.mode("overwrite").text(dir)
+    val out = tmpDir("mi-ndjson-out")
+    val cfg = PipelineConfig.fromEnv(Map(
+      "GRAFT_START_DATE" -> "2019-12-02",
+      "GRAFT_END_DATE" -> "2019-12-03",
+      "GRAFT_CUTOFF_DAYS" -> "0",
+      "GRAFT_CLASSIFY_MI" -> "true",
+      "GRAFT_MI_INPUT" -> dir,
+      "GRAFT_MI_OUTPUT" -> out,
+    ))
+    assert(!cfg.miReferenceFormat)
+    val n = TransferPipelineJob.run(spark, cfg)
+    assert(n == 10, s"expected one transfer per conversation, got $n")
+    val evCount = spark.read.parquet(out)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("events"))).count()
+    val expectedEvents =
+      MiPipeline.parseEvents(MiGen.generate(spark, 10), "json").count()
+    assert(evCount == expectedEvents,
+      s"every ndjson line must survive the scan: $evCount != $expectedEvents")
+  }
 }

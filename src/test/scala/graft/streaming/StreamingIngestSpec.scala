@@ -223,4 +223,56 @@ class StreamingIngestSpec extends SparkSpec {
       .select("repo", "row_sha256").as[(String, String)].collect().toMap
     assert(after == before)
   }
+
+  test("an offer no micro-batch drained survives shutdown via flushAfterStop") {
+    import org.apache.spark.sql.functions.col
+    // durability boundary: offer is a mailbox drop — a query stopped (or
+    // never triggered, on a quiet stream) before the next batch leaves the
+    // delta in memory. The shutdown path is pending-check + flushAfterStop,
+    // which must commit to the dimlog; a re-flush of the same version must
+    // stay a guarded no-op.
+    val cfg = GenConfig(numConversations = 30, hotConversations = 0,
+      hotFragments = 0, epochs = 1)
+    val log = ChangeLogGen.generate(spark, cfg).cache()
+    val baseDim = Enrichment.generateDim(spark, numAsids = 997,
+      yearMonths = Seq(201911, 201912))
+    val target = CdcPipeline.classify(log, 14 * day)
+      .select("requestingPracticeAsid").as[String].collect().min
+    val delta = Seq(Enrichment.OrgDimRow(target, s"O-$target-upd",
+      s"Practice $target (refreshed)", "S900", "SICBL 900", 201912)).toDF()
+
+    val engine = new CdcEngine(tmpDir("flush-wh"), numBuckets = 4,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[ChangeEvent]
+    val queue = new StreamingIngest.DimUpdateQueue
+    val query = StreamingIngest.start(engine, source.toDS(), tmpDir("flush-cp"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      dimUpdates = Some(queue))
+    source.addData(log.as[ChangeEvent].collect().toSeq)
+    query.processAllAvailable()
+    // offered while running, but the query stops before any further batch
+    queue.offer(1L, delta)
+    query.stop()
+    assert(queue.pending == 1, "undrained offer must be visible to shutdown")
+    assert(queue.flushAfterStop(spark, engine) == Seq(1L))
+    assert(queue.pending == 0)
+    assert(engine.dimlog.get.latestManifest().get.epoch == 1L,
+      "flushAfterStop must commit on the dimlog chain")
+    // no subsequent ingest epoch to ride — land the retro-correction
+    // out-of-band (the documented end-of-feed flow)
+    assert(engine.flushDimUpdates(spark, epoch = 100L) > 0)
+    val names = engine.currentEnriched(spark)
+      .filter(col("requestingPracticeAsid") === target)
+      .select("requesting_practice_name").distinct().as[String].collect().toSet
+    assert(names == Set(s"Practice $target (refreshed)"), names.toString)
+    // replaying the same version after restart stays a no-op
+    val resumed = new CdcEngine(engine.warehouse, numBuckets = 4,
+      cutoffMicros = 14 * day, dim = Some(baseDim))
+    val q2 = new StreamingIngest.DimUpdateQueue
+    q2.offer(1L, delta)
+    assert(q2.flushAfterStop(spark, resumed) == Seq(1L))
+    assert(resumed.dimlog.get.latestManifest().get.epoch == 1L)
+    log.unpersist()
+  }
 }
