@@ -71,6 +71,52 @@ object VectorOps {
     IvfModel(kmeans(sample, math.min(numCells, sample.length), iters, spherical = true))
   }
 
+  /** Closed-form coarse quantizer: cell c = the unit-normalized embedding of
+    * row `ids(c)` — no training loop, so an external system (the driver's
+    * DuckDB oracle) can recompute the ENTIRE IVF inference path from the raw
+    * table. Production indexes use [[trainIvf]] (recall asserted in OpsSpec);
+    * the inference code under test — assignCells/ivfTopK/NearestCellsExpr —
+    * is identical under either model.
+    */
+  def ivfModelFromIds(corpus: DataFrame, idCol: String, vecCol: String,
+                      ids: Seq[Long]): IvfModel = {
+    val byId = fetchVectors(corpus, idCol, vecCol, ids)
+    IvfModel(ids.toArray.map { id =>
+      val n = normalize(byId(id))
+      require(n != null, s"ivfModelFromIds: zero vector at id $id")
+      n
+    })
+  }
+
+  /** Closed-form PQ codebooks: code c of subspace j = the j-th subvector of
+    * row `ids(c)` — same rationale as [[ivfModelFromIds]]: the driver oracle
+    * recomputes encode + ADC scoring relationally; [[trainPq]] (k-means
+    * codebooks, recall-asserted) remains the production path.
+    */
+  def pqModelFromIds(corpus: DataFrame, idCol: String, vecCol: String,
+                     ids: Seq[Long], m: Int): PqModel = {
+    val byId = fetchVectors(corpus, idCol, vecCol, ids)
+    val dim = byId(ids.head).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      ids.toArray.map(id =>
+        java.util.Arrays.copyOfRange(byId(id), j * dsub, (j + 1) * dsub))
+    }.toArray
+    PqModel(books)
+  }
+
+  /** Bounded metadata fetch (|ids| rows) for the closed-form models. */
+  private def fetchVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                           ids: Seq[Long]): Map[Long, Array[Float]] = {
+    val byId = corpus
+      .filter(col(idCol).cast("long").isin(ids: _*))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    ids.foreach(id => require(byId.contains(id), s"model id $id not in corpus"))
+    byId
+  }
+
   /** Deterministic uniform sample: the sampleSize lowest xxhash64(id) rows. */
   private def deterministicSample(corpus: DataFrame, idCol: String,
                                   vecCol: String, sampleSize: Int): Array[Array[Float]] =
@@ -231,19 +277,21 @@ object VectorOps {
              idCol: String, vecCol: String, model: PqModel, k: Int): DataFrame = {
     val m = model.m
     val dsub = model.dsub
-    // query-side LUTs are driver-built: Q × m × 256 subspace dots
+    // query-side LUTs are driver-built: Q × m × 256 subspace dots, double
+    // accumulation (float32 products are exact in double, so an external
+    // recomputation over the same float inputs reproduces these bits)
     val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
       val qid = r.get(0)
       val qv = r.getSeq[Float](1).toArray
-      val lut = new Array[Float](m * 256)
+      val lut = new Array[Double](m * 256)
       var j = 0
       while (j < m) {
         val cb = model.codebooks(j)
         var c = 0
         while (c < cb.length) {
-          var s = 0.0f
+          var s = 0.0
           var i = 0
-          while (i < dsub) { s += qv(j * dsub + i) * cb(c)(i); i += 1 }
+          while (i < dsub) { s += qv(j * dsub + i).toDouble * cb(c)(i); i += 1 }
           lut(j * 256 + c) = s
           c += 1
         }
@@ -260,15 +308,15 @@ object VectorOps {
       .join(broadcast(qDf), Seq("__qid_str")).drop("__qid_str")
     // |x̂|² lut is query-independent: norms of the codebook entries
     val normLut = {
-      val a = new Array[Float](m * 256)
+      val a = new Array[Double](m * 256)
       var j = 0
       while (j < m) {
         val cb = model.codebooks(j)
         var c = 0
         while (c < cb.length) {
-          var s = 0.0f
+          var s = 0.0
           var i = 0
-          while (i < dsub) { s += cb(c)(i) * cb(c)(i); i += 1 }
+          while (i < dsub) { s += cb(c)(i).toDouble * cb(c)(i); i += 1 }
           a(j * 256 + c) = s
           c += 1
         }
@@ -279,7 +327,7 @@ object VectorOps {
     val scored = encodedCorpus.select(col(idCol).as("neighbor_id"), col("pq"))
       .withColumn("__xnorm",
         sqrt(graft.functions.AdcLookupExpr.adcLookup(col("pq"),
-          lit(normLut.toArray).cast("array<float>"))))
+          lit(normLut.toArray).cast("array<double>"))))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.functions.AdcLookupExpr.adcLookup(col("pq"), col("__lut")) / col("__xnorm"))

@@ -173,6 +173,58 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, f"PQ recall $recall%.3f < 0.8")
   }
 
+  test("trainIvf / trainPq are replay-deterministic (bit-identical retrain)") {
+    // The property the retired e02/e04 VALUES pins actually guarded for the
+    // CDC engine: the seeded models must be a pure function of the corpus —
+    // no wall-clock/random/partition-order dependence — so replaying a
+    // pipeline retrains the exact same model.
+    def lcg(seed: Long): Iterator[Double] = Iterator.iterate(
+      seed * 6364136223846793005L + 1442695040888963407L)(
+      s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 11).toDouble / (1L << 53).toDouble)
+    val points = (0 until 200).map { i =>
+      val r = lcg(i + 7)
+      (i.toLong, Seq.fill(32)((r.next() - 0.5).toFloat))
+    }
+    val corpus1 = points.toDF("vec_id", "embedding")
+    val corpus2 = points.reverse.toDF("vec_id", "embedding").repartition(7)
+    val ivf1 = VectorOps.trainIvf(corpus1, "vec_id", "embedding", numCells = 8, sampleSize = 150)
+    val ivf2 = VectorOps.trainIvf(corpus2, "vec_id", "embedding", numCells = 8, sampleSize = 150)
+    assert(ivf1.centroids.map(_.toSeq).toSeq == ivf2.centroids.map(_.toSeq).toSeq,
+      "IVF centroids must be bit-identical across retrains/partitionings")
+    val pq1 = VectorOps.trainPq(corpus1, "vec_id", "embedding", m = 8, sampleSize = 150)
+    val pq2 = VectorOps.trainPq(corpus2, "vec_id", "embedding", m = 8, sampleSize = 150)
+    assert(pq1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ codebooks must be bit-identical across retrains/partitionings")
+  }
+
+  test("closed-form models (ivfModelFromIds / pqModelFromIds) match their spec") {
+    // The r6 driver queries e02/e04 run inference under models an external
+    // system can recompute: cells = normalized rows, codes = raw subvectors.
+    def lcg2(seed: Long): Iterator[Double] = Iterator.iterate(
+      seed * 6364136223846793005L + 1442695040888963407L)(
+      s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 11).toDouble / (1L << 53).toDouble)
+    val points = (0 until 20).map { i =>
+      val r = lcg2(i + 3)
+      (i.toLong, Seq.fill(16)((r.next() - 0.5).toFloat))
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    val ivf = VectorOps.ivfModelFromIds(corpus, "vec_id", "embedding", Seq(2L, 5L))
+    assert(ivf.numCells == 2)
+    ivf.centroids.zip(Seq(2, 5)).foreach { case (c, id) =>
+      val raw = points(id)._2
+      val inv = 1.0 / math.sqrt(raw.map(x => x.toDouble * x).sum)
+      assert(c.toSeq == raw.map(x => (x * inv).toFloat),
+        s"cell for id $id must be the normalized row")
+    }
+    val pq = VectorOps.pqModelFromIds(corpus, "vec_id", "embedding", Seq(0L, 1L, 2L), m = 4)
+    assert(pq.m == 4 && pq.dsub == 4)
+    assert(pq.codebooks(1)(2).toSeq == points(2)._2.slice(4, 8),
+      "code 2 of subspace 1 must be subvector 1 of row 2")
+  }
+
   test("cosineNearDups finds planted near-identical vectors and skips the rest") {
     // 40 quasi-random base vectors (deterministic LCG), plus near-duplicates
     // of the first 5 (one coordinate nudged) — pairs (i, 1000+i) must be
