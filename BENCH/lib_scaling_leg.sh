@@ -32,11 +32,16 @@ pair() { # pair <idx> <kind> [extra env...] -> one combined JSON line >> OUT
       classify_sec_n: (((.[0].classify_sec + .[2].classify_sec) / 2) * 1000 | round / 1000),
       classify_sec_4n: .[1].classify_sec,
       classify_eff: ((((.[0].classify_sec + .[2].classify_sec) / 2) / (4 * .[1].classify_sec)) * 1000 | round / 1000),
-      apply_sec_n: (((.[0].apply_sec + .[2].apply_sec) / 2) * 1000 | round / 1000),
-      apply_sec_4n: .[1].apply_sec,
-      apply_eff: ((((.[0].apply_sec + .[2].apply_sec) / 2) / (4 * .[1].apply_sec)) * 1000 | round / 1000),
-      apply_cpu_sec_n: (((.[0].apply_cpu_sec + .[2].apply_cpu_sec) / 2) * 1000 | round / 1000),
-      apply_cpu_sec_4n: .[1].apply_cpu_sec,
+      # narrow (no-apply) legs return the -1 sentinel: emit null, never a
+      # fabricated ratio (-1/(4*-1) would read as a plausible 0.25)
+      apply_sec_n: (if .[0].apply_sec > 0 and .[2].apply_sec > 0
+        then (((.[0].apply_sec + .[2].apply_sec) / 2) * 1000 | round / 1000) else null end),
+      apply_sec_4n: (if .[1].apply_sec > 0 then .[1].apply_sec else null end),
+      apply_eff: (if .[0].apply_sec > 0 and .[1].apply_sec > 0 and .[2].apply_sec > 0
+        then ((((.[0].apply_sec + .[2].apply_sec) / 2) / (4 * .[1].apply_sec)) * 1000 | round / 1000) else null end),
+      apply_cpu_sec_n: (if .[0].apply_cpu_sec > 0 and .[2].apply_cpu_sec > 0
+        then (((.[0].apply_cpu_sec + .[2].apply_cpu_sec) / 2) * 1000 | round / 1000) else null end),
+      apply_cpu_sec_4n: (if .[1].apply_cpu_sec > 0 then .[1].apply_cpu_sec else null end),
       # CPU-normalized: what the wall ratio would read if the 4N leg paid the
       # N leg'\''s task-CPU (the sandbox'\''s single-socket memory contention
       # inflates per-task CPU with thread count; a real 4N cluster brings 4N
