@@ -34,10 +34,14 @@ object ScalingBench {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (te.taskMetrics != null) cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
       })
-      def cpuSince(mark: Long): Double = {
-        // listener events drain async — settle before reading
-        Thread.sleep(150); (cpuNs.get() - mark) / 1e9
+      def drained(): Long = {
+        // deterministic listener drain before reading the counter — a
+        // sleep-settle undercounts whenever the async bus lags longer
+        org.apache.spark.sql.graftbridge.GraftBridge
+          .drainListenerBus(spark.sparkContext)
+        cpuNs.get()
       }
+      def cpuSince(mark: Long): Double = (drained() - mark) / 1e9
       // over-partition the shuffle for tail balance; AQE coalesces small ones
       spark.conf.set("spark.sql.shuffle.partitions", (cpus * 4).toString)
       import spark.implicits._
@@ -48,7 +52,7 @@ object ScalingBench {
         val warm = ChangeLogGen.generate(spark, cfg.copy(numConversations = 1000))
         warm.map(e => MessageParser.parse(e.content).timeMicros).agg(max("value")).collect()
         val n = ChangeLogGen.generate(spark, cfg).count()
-        val mark = { Thread.sleep(150); cpuNs.get() }
+        val mark = drained()
         val sec = Bench.timed(
           ChangeLogGen.generate(spark, cfg)
             .map(e => MessageParser.parse(e.content).timeMicros)
@@ -63,7 +67,7 @@ object ScalingBench {
         val warm = ChangeLogGen.generate(spark, cfg.copy(numConversations = 1000))
         CdcPipeline.classify(warm, 14 * day).write.mode("overwrite").format("noop").save()
         val n = ChangeLogGen.generate(spark, cfg).count()
-        val mark = { Thread.sleep(150); cpuNs.get() }
+        val mark = drained()
         val sec = Bench.timed(
           CdcPipeline.classify(ChangeLogGen.generate(spark, cfg), 14 * day)
             .write.mode("overwrite").format("noop").save())
@@ -74,7 +78,7 @@ object ScalingBench {
       val log = ChangeLogGen.generate(spark, cfg)
         .repartition(cpus * 2).cache()
       val n = log.count()
-      val cMark = { Thread.sleep(150); cpuNs.get() }
+      val cMark = drained()
       val classifySec = Bench.timed(CdcPipeline.classify(log, 14 * day).write
         .mode("overwrite").format("noop").save())
       val classifyCpu = cpuSince(cMark)
@@ -102,7 +106,7 @@ object ScalingBench {
         val eng = new CdcEngine(wh.toString, numBuckets = 32, cutoffMicros = 14 * day,
           alignedCommits = !sys.env.get("SPARK_GRAFT_ALIGNED").contains("0"))
         // pipelined epochs by default; SPARK_GRAFT_PIPELINE=0 = sequential A/B
-        val aMark = { Thread.sleep(150); cpuNs.get() }
+        val aMark = drained()
         val sec = Bench.timed(
           if (sys.env.get("SPARK_GRAFT_PIPELINE").contains("0"))
             byEpoch.foreach { case (e, b) => eng.applyEpoch(spark, b, e) }

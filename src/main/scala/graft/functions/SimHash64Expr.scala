@@ -104,14 +104,21 @@ object SimHash64Expr {
         else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
         else { cp = b0 & 0x07; len = 4 }
         if (len > n - i) len = n - i
+        // consume only genuine continuation bytes (0b10xxxxxx): an invalid
+        // sequence (dangling lead followed by e.g. ' ') must not swallow
+        // the next byte — split-on-0x20 stays exact for ARBITRARY bytes,
+        // not just valid UTF-8 (0x20 is never a continuation byte, but a
+        // bogus lead could otherwise absorb it and merge two tokens)
         var k = 1
-        while (k < len) {
-          cp = (cp << 6) | (java.lang.Byte.toUnsignedInt(
-            org.apache.spark.unsafe.Platform.getByte(base, offset + i + k)) & 0x3f)
-          k += 1
+        var cont = true
+        while (k < len && cont) {
+          val bk = java.lang.Byte.toUnsignedInt(
+            org.apache.spark.unsafe.Platform.getByte(base, offset + i + k))
+          if ((bk & 0xc0) == 0x80) { cp = (cp << 6) | (bk & 0x3f); k += 1 }
+          else cont = false
         }
         acc = (acc ^ cp.toLong) * FnvPrime
-        i += len
+        i += k
       }
     }
     var out = 0L

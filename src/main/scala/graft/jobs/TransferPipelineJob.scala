@@ -145,11 +145,17 @@ object TransferPipelineJob {
       throw new IllegalArgumentException("GRAFT_MI_OUTPUT is required with GRAFT_CLASSIFY_MI"))
     // window-resolved day prefixes may not all exist (the reference reads
     // an S3 listing, where an empty prefix is just empty) — drop absent
-    // dirs instead of failing the scan
-    val fs = new org.apache.hadoop.fs.Path(cfg.miInputs.head)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = cfg.miInputs.filter(p =>
-      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    // dirs instead of failing the scan. ONLY for the GRAFT_MI_INPUT_BASE
+    // contract: explicit GRAFT_MI_INPUT paths go to the reader untouched,
+    // so globs still expand there and a mistyped dir fails loudly instead
+    // of being silently skipped. Filesystem resolved per path (prefixes
+    // may span schemes).
+    val present =
+      if (!cfg.miReferenceFormat) cfg.miInputs
+      else cfg.miInputs.filter { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+      }
     if (present.isEmpty) throw new IllegalArgumentException(
       s"none of the MI input prefixes exist: ${cfg.miInputs.mkString(",")}")
     val transfers = graft.mi.MiPipeline.toMiTransfers(

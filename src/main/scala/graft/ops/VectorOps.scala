@@ -307,7 +307,7 @@ object VectorOps {
       .withColumn("__qid_str", col("query_id").cast("string"))
       .join(broadcast(qDf), Seq("__qid_str")).drop("__qid_str")
     // |x̂|² lut is query-independent: norms of the codebook entries
-    val normLut = {
+    val normLut: Array[Double] = {
       val a = new Array[Double](m * 256)
       var j = 0
       while (j < m) {
@@ -322,12 +322,11 @@ object VectorOps {
         }
         j += 1
       }
-      a.toSeq
+      a
     }
     val scored = encodedCorpus.select(col(idCol).as("neighbor_id"), col("pq"))
       .withColumn("__xnorm",
-        sqrt(graft.functions.AdcLookupExpr.adcLookup(col("pq"),
-          lit(normLut.toArray).cast("array<double>"))))
+        sqrt(graft.functions.AdcLookupExpr.adcLookup(col("pq"), lit(normLut))))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.functions.AdcLookupExpr.adcLookup(col("pq"), col("__lut")) / col("__xnorm"))

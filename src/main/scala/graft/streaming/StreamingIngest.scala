@@ -53,14 +53,26 @@ object StreamingIngest {
       */
     def flushAfterStop(spark: org.apache.spark.sql.SparkSession,
                        engine: CdcEngine): Seq[Long] =
-      drain().map { case (version, delta) =>
-        engine.applyDimUpdate(spark, delta, version); version
+      applyAll(spark, engine)
+    /** Apply-then-dequeue, head first: an offer leaves the mailbox only
+      * AFTER its applyDimUpdate returns. A failure mid-apply keeps the
+      * failing offer AND everything behind it queued (`pending` stays
+      * honest), so a restarted caller re-flushes the undelivered tail
+      * instead of silently losing it — drain-then-apply dropped every
+      * later offer when an earlier one threw.
+      */
+    private[streaming] def applyAll(spark: org.apache.spark.sql.SparkSession,
+                                    engine: CdcEngine): Seq[Long] = {
+      val applied = Seq.newBuilder[Long]
+      var head = q.peek()
+      while (head != null) {
+        val (version, delta) = head
+        engine.applyDimUpdate(spark, delta, version) // throws → head stays queued
+        q.poll()
+        applied += version
+        head = q.peek()
       }
-    private[streaming] def drain(): Seq[(Long, DataFrame)] = {
-      val out = Seq.newBuilder[(Long, DataFrame)]
-      var next = q.poll()
-      while (next != null) { out += next; next = q.poll() }
-      out.result()
+      applied.result()
     }
   }
 
@@ -79,9 +91,7 @@ object StreamingIngest {
         // pending dim refreshes land first, on the micro-batch boundary:
         // the engine is single-writer, and foreachBatch is its only writer
         // thread while the query runs, so this is the one safe point
-        dimUpdates.foreach(_.drain().foreach { case (version, delta) =>
-          engine.applyDimUpdate(batch.sparkSession, delta, version)
-        })
+        dimUpdates.foreach(_.applyAll(batch.sparkSession, engine))
         engine.applyEpoch(batch.sparkSession, batch, batchId)
         ()
       }

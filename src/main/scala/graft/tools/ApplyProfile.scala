@@ -82,9 +82,10 @@ object ApplyProfile {
       val t0 = System.nanoTime()
       eng.applyEpoch(spark, batch, e)
       val wall = (System.nanoTime() - t0) / 1e9
-      // drain after the epoch: listener events are async but the queue is
-      // settled once the action returns (concurrent commit futures joined)
-      Thread.sleep(200)
+      // drain after the epoch: listener events are async — block until the
+      // bus has delivered every onTaskEnd before reading the job table
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .drainListenerBus(spark.sparkContext)
       val rows = done.iterator()
       println(f"---- epoch $e: wall $wall%.2fs ----")
       var sum = 0L

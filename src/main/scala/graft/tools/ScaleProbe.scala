@@ -114,7 +114,8 @@ object ScaleProbe {
       shuffleBytes.set(0L)
       var rows = 0L
       val sec = Bench.timed { rows = job }
-      Thread.sleep(300) // listener drain
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .drainListenerBus(spark.sparkContext) // deterministic listener drain
       (name, sec, shuffleBytes.get(), rows)
     }
 

@@ -30,7 +30,8 @@ object ShuffleBytesProbe {
       hotConversations = 4, hotFragments = 4096, epochs = 4)
     def run(label: String)(job: => Unit): Long = {
       bytes.set(0L); job
-      Thread.sleep(300) // listener drain
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .drainListenerBus(spark.sparkContext) // deterministic listener drain
       val b = bytes.get()
       println(f"$label%-14s shuffle bytes written: $b%,d")
       b

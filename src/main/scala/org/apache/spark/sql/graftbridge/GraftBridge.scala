@@ -26,4 +26,18 @@ object GraftBridge {
     */
   def asNullable(dt: org.apache.spark.sql.types.DataType):
       org.apache.spark.sql.types.DataType = dt.asNullable
+
+  /** Deterministic listener-bus drain: blocks until all queued events
+    * (e.g. the onTaskEnd carrying task metrics) have been delivered, so a
+    * CPU/bytes counter read after a job sees every completed task — the
+    * benches previously settled with Thread.sleep, which silently
+    * undercounts whenever the async bus lags longer. `waitUntilEmpty` is
+    * private[spark]; bridged here like the expression helpers. Returns
+    * false on timeout (caller keeps the possibly-partial reading and can
+    * flag it).
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+                       timeoutMs: Long = 60000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

@@ -85,6 +85,26 @@ class SimHash64Spec extends SparkSpec {
       TextOps.simhashReference("alpha beta"))
   }
 
+  test("invalid lead byte mid-buffer never swallows a token boundary") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(bytes: Array[Byte]): Long =
+      SimHash64Expr.compute(UTF8String.fromBytes(bytes))
+    // "a<0xC3> b": the dangling 2-byte lead is followed by ' ' — only a
+    // genuine continuation byte (0b10xxxxxx) may be consumed, so the space
+    // stays a split point and the lead decodes alone to cp 0xC3 & 0x1f =
+    // 0x03. The byte-equivalent VALID input with the same code points per
+    // token ([0x61,0x03] | [0x62]) must therefore hash identically; the
+    // pre-fix decoder absorbed the space as a continuation byte and merged
+    // the two tokens into one.
+    val invalid = Array(0x61, 0xC3, 0x20, 0x62).map(_.toByte)
+    val sameCps = Array(0x61, 0x03, 0x20, 0x62).map(_.toByte)
+    assert(h(invalid) == h(sameCps),
+      "space after a dangling lead must remain a token boundary")
+    // and it must NOT equal the single-token merge (boundary swallowed)
+    val merged = Array(0x61, 0x03, 0x62).map(_.toByte)
+    assert(h(invalid) != h(merged))
+  }
+
   test("whole-stage codegen path evaluates (no interpreted fallback errors)") {
     val n = spark.range(2000).select(concat(lit("tok word "), $"id".cast("string")).as("t"))
     val distinctHashes = n.select(SimHash64Expr.simhash64($"t")).distinct().count()
