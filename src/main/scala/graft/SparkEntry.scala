@@ -314,10 +314,14 @@ object SparkEntry {
 
     // ---- J2/J3: org-dimension enrichment (as-of month + fallback) ----
     "c02_cdc_enriched" -> ((s, _) => {
-      val cfg = GenConfig(numConversations = 200, hotConversations = 1, hotFragments = 32)
+      // fixture config shared with the independent model oracle — see
+      // graft.model.ModelOracles (the golden pins are computed THERE)
       val transfers = CdcPipeline.classify(
-        ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF()
-      val dim = Enrichment.generateDim(s, numAsids = 997, yearMonths = Seq(201912, 202001))
+        ChangeLogGen.generate(s, graft.model.ModelOracles.EnrichCfg),
+        graft.model.ModelOracles.CutoffMicros).toDF()
+      val dim = Enrichment.generateDim(s,
+        numAsids = graft.model.ModelOracles.DimAsids,
+        yearMonths = graft.model.ModelOracles.DimMonths)
       Enrichment.enrich(transfers, dim)
         .select("repo", "status", "requestingPracticeAsid",
           "requesting_practice_ods_code", "requesting_practice_sicbl_name",
@@ -369,8 +373,9 @@ object SparkEntry {
     // (the Scala analogue of the reference's golden e2e outputs,
     // tests/e2e/test_transfer_classifier.py:246-273). ----
     "c03_outcome_dist" -> ((s, _) => {
-      val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
-      CdcPipeline.classify(ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF()
+      CdcPipeline.classify(
+          ChangeLogGen.generate(s, graft.model.ModelOracles.ClassifyCfg),
+          graft.model.ModelOracles.CutoffMicros).toDF()
         .groupBy("status", "failureReason").agg(count(lit(1)).as("n"))
     }),
 
@@ -379,9 +384,9 @@ object SparkEntry {
     // content; any drift in parse, dedup, ordering, or the state machine
     // flips it. ----
     "c04_cdc_checksum" -> ((s, _) => {
-      val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
       CdcPipeline.withRowSha(CdcPipeline.classify(
-          ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF())
+          ChangeLogGen.generate(s, graft.model.ModelOracles.ClassifyCfg),
+          graft.model.ModelOracles.CutoffMicros).toDF())
         .agg(count(lit(1)).as("n"),
           sha2(concat_ws("", sort_array(collect_list(col("row_sha256")))), 256)
             .as("table_sha256"))
@@ -391,10 +396,12 @@ object SparkEntry {
     // classified rows resolved each practice role against the monthly dim
     // (as-of + one-month fallback + null-pad-on-miss all flow into it) ----
     "c05_enrich_dist" -> ((s, _) => {
-      val cfg = GenConfig(numConversations = 200, hotConversations = 1, hotFragments = 32)
       val transfers = CdcPipeline.classify(
-        ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF()
-      val dim = Enrichment.generateDim(s, numAsids = 997, yearMonths = Seq(201912, 202001))
+        ChangeLogGen.generate(s, graft.model.ModelOracles.EnrichCfg),
+        graft.model.ModelOracles.CutoffMicros).toDF()
+      val dim = Enrichment.generateDim(s,
+        numAsids = graft.model.ModelOracles.DimAsids,
+        yearMonths = graft.model.ModelOracles.DimMonths)
       Enrichment.enrich(transfers, dim)
         .groupBy(col("status"),
           col("requesting_practice_ods_code").isNotNull.as("req_resolved"),
@@ -404,9 +411,9 @@ object SparkEntry {
 
     // ---- the CDC engine itself: deterministic log → classified table ----
     "c01_cdc_classify" -> ((s, _) => {
-      val cfg = GenConfig(numConversations = 300, hotConversations = 2, hotFragments = 64)
       CdcPipeline.withRowSha(CdcPipeline.classify(
-          ChangeLogGen.generate(s, cfg), 14L * 24 * 3600 * 1000000L).toDF())
+          ChangeLogGen.generate(s, graft.model.ModelOracles.ClassifyCfg),
+          graft.model.ModelOracles.CutoffMicros).toDF())
         .select("repo", "status", "failureReason", "slaDurationSeconds",
           "eventCount", "minOffset", "maxOffset", "row_sha256")
     }),
@@ -685,44 +692,12 @@ object SparkEntry {
                         - epoch(min(tsec) FILTER (WHERE et = 'EHR_REQUESTED')) > 86400
                 END AS slow_transfer
          FROM m GROUP BY conversation_id""",
-    // golden histogram of the deterministic generator + classifier (the
-    // generator is seeded; this pins the classified-outcome distribution
-    // like the reference's golden daily outputs)
-    // golden enrichment-coverage histogram (as-of month + one-month
-    // fallback + null-pad-on-miss; seeded generator + dim → deterministic)
-    "c05_enrich_dist" ->
-      """SELECT status, CAST(r AS BOOLEAN) AS req_resolved,
-                CAST(s AS BOOLEAN) AS snd_resolved, CAST(n AS BIGINT) AS n
-         FROM (VALUES
-           ('Integrated on time',   false, false,   2),
-           ('Integrated on time',   false, true,    9),
-           ('Integrated on time',   true,  false,  17),
-           ('Integrated on time',   true,  true,  103),
-           ('Process failure',      false, false,   1),
-           ('Process failure',      true,  false,   1),
-           ('Process failure',      true,  true,   22),
-           ('Technical failure',    false, true,    4),
-           ('Technical failure',    true,  false,   1),
-           ('Technical failure',    true,  true,   38),
-           ('Unclassified failure', true,  false,   1),
-           ('Unclassified failure', true,  true,    1)
-         ) AS t(status, r, s, n)""",
-    // full-table content golden: one sha256 over the sorted per-row hashes
-    "c04_cdc_checksum" ->
-      """SELECT CAST(300 AS BIGINT) AS n,
-           '820de2effe019eb1fe99de2c2e39a51e9e5f0434f8451b67ddeb883f0110bb13' AS table_sha256""",
-    "c03_outcome_dist" ->
-      """SELECT status, "failureReason", CAST(n AS BIGINT) AS n FROM (VALUES
-           ('Integrated on time',   NULL,                                        177),
-           ('Process failure',      'Integrated late',                            26),
-           ('Process failure',      'Transferred, not integrated',                25),
-           ('Technical failure',    'Final error',                                38),
-           ('Technical failure',    'Request not acknowledged',                   15),
-           ('Technical failure',    'COPC(s) not sent',                            6),
-           ('Technical failure',    'Core extract not sent',                       2),
-           ('Technical failure',    'Contains fatal sender error',                 5),
-           ('Unclassified failure', 'Transferred, not integrated, with error',     6)
-         ) AS t(status, "failureReason", n)""",
+    // golden histogram + checksum + coverage pins: generated from the
+    // INDEPENDENT model (graft.model.ReferenceModel via GoldenGen), not
+    // from the engine — see the c01/c02 block below
+    "c05_enrich_dist" -> graft.goldens.Goldens.c05_enrich_dist,
+    "c04_cdc_checksum" -> graft.goldens.Goldens.c04_cdc_checksum,
+    "c03_outcome_dist" -> graft.goldens.Goldens.c03_outcome_dist,
     // ---- independent SimHash recomputation (r6): DuckDB re-derives the
     // splitmix64∘FNV-1a simhash from the RAW TEXT — wrapping mod-2^64
     // arithmetic spelled out as HUGEINT split-multiplies (constants split
@@ -749,14 +724,15 @@ object SparkEntry {
            ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.u2, b.u2)) <= 3""",
     // ---- pinned VALUES goldens (graft.goldens.Goldens, generated by
-    // graft.tools.GoldenGen at sf0.01): the CDC engine's own classified/
-    // enriched tables (c01/c02, already content-pinned by the c03/c04/c05
-    // checksum oracles — this moves the pin under the driver's
-    // rows+schema+hash gate). DuckDB cannot re-run the sessionized state
-    // machine relationally; the e02/e04 ANN pins graduated to real SQL
-    // recomputations in r6 (below), like d06/d08 before them. Regenerate
-    // via GoldenGen after parameter changes and review the diff like any
-    // golden update. ----
+    // graft.tools.GoldenGen): since r6 the pins are computed by the
+    // INDEPENDENT reference model (graft.model.ReferenceModel — a
+    // pure-Scala transliteration of the reference Python, sharing only the
+    // input fixtures with the engine), so the driver gate checks the
+    // engine against a second implementation instead of its own history.
+    // DuckDB cannot re-run the sessionized state machine relationally; the
+    // e02/e04 ANN pins graduated to real SQL recomputations in r6 (below),
+    // like d06/d08 before them. Regenerate via GoldenGen after fixture
+    // changes and review the diff like any golden update. ----
     "c01_cdc_classify" -> graft.goldens.Goldens.c01_cdc_classify,
     "c02_cdc_enriched" -> graft.goldens.Goldens.c02_cdc_enriched,
     // ---- independent IVF recomputation (r6): DuckDB re-derives the

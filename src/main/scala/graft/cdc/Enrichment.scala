@@ -39,7 +39,15 @@ object Enrichment {
     */
   def generateDim(spark: SparkSession, numAsids: Int, yearMonths: Seq[Int]): DataFrame = {
     import spark.implicits._
-    val rows = for {
+    dimRows(numAsids, yearMonths).toDF()
+  }
+
+  /** The dim fixture rows themselves, Spark-free — shared with the
+    * independent model oracle (`graft.model`), which consumes the same
+    * INPUT fixture but resolves it with its own lookup logic.
+    */
+  def dimRows(numAsids: Int, yearMonths: Seq[Int]): Seq[OrgDimRow] =
+    for {
       i <- 0 until numAsids
       if i % 11 != 10 // never present → join miss
       (ym, mi) <- yearMonths.zipWithIndex
@@ -52,8 +60,6 @@ object Enrichment {
       sicblName = s"SICBL ${i % 50}",
       yearMonth = ym,
     )
-    rows.toDF()
-  }
 
   /** Read the reference's monthly ODS metadata JSON files
     * (`organisationMetadata.json` — one whole-file object per month,
