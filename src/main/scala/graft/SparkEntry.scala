@@ -312,6 +312,21 @@ object SparkEntry {
           element_at(col("chan_sum"), 2).as("sum_g"),
           element_at(col("chan_sum"), 3).as("sum_b"))),
 
+    // ---- multimodal REAL audio decode (r6): deterministic PCM16 WAV
+    // payloads round-tripped through the JDK javax.sound.sampled decoder;
+    // channel count, frame count and exact per-channel sample sums are
+    // closed forms the SQL oracle recomputes independently ----
+    "m04_audio_decode" -> ((s, d) =>
+      MultimodalOps.decodeAudio(
+        MultimodalOps.renderTestWavs(
+          t(s, d, "documents").filter(col("doc_id") < 256), "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_frames"),
+          element_at(col("chan_sum"), 1).as("sum_c0"),
+          when(col("channels") === 2, element_at(col("chan_sum"), 2))
+            .otherwise(lit(0L)).as("sum_c1"))),
+
     // ---- J2/J3: org-dimension enrichment (as-of month + fallback) ----
     "c02_cdc_enriched" -> ((s, _) => {
       // fixture config shared with the independent model oracle — see
@@ -851,6 +866,24 @@ object SparkEntry {
          CROSS JOIN range(0, 12) AS xs(x)
          CROSS JOIN range(0, 12) AS ys(y)
          WHERE xs.x < 8 + d.doc_id % 5 AND ys.y < 6 + d.doc_id % 7
+         GROUP BY d.doc_id""",
+    // independent closed-form recomputation of the WAV decode: clip d is
+    // (1 + d%2) channels × (64 + d%33) frames of PCM16 with sample
+    // ((211d + 31i + 97c + 128) mod 4001) − 2000 — the oracle re-derives
+    // the per-channel sums the engine reads back out of the decoded PCM
+    "m04_audio_decode" ->
+      """SELECT d.doc_id,
+                'wav' AS format,
+                CAST(1 + d.doc_id % 2 AS INT) AS channels,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(64 + d.doc_id % 33 AS BIGINT) AS n_frames,
+                CAST(SUM((211*d.doc_id + 31*i.i + 128) % 4001 - 2000) AS BIGINT) AS sum_c0,
+                CAST(SUM(CASE WHEN d.doc_id % 2 = 1
+                              THEN (211*d.doc_id + 31*i.i + 97 + 128) % 4001 - 2000
+                              ELSE 0 END) AS BIGINT) AS sum_c1
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d
+         CROSS JOIN range(0, 96) AS i(i)
+         WHERE i.i < 64 + d.doc_id % 33
          GROUP BY d.doc_id""",
   )
 }

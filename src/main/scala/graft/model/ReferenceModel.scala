@@ -443,7 +443,13 @@ object ReferenceModel {
     s.foreach {
       case '"'  => sb.append("\\\"")
       case '\\' => sb.append("\\\\")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      // Jackson (Spark's to_json) uses the short escapes where they exist
+      case '\b' => sb.append("\\b")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\f' => sb.append("\\f")
+      case '\r' => sb.append("\\r")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04X") // Jackson: uppercase hex
       case c    => sb.append(c)
     }
     sb.append('"')

@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL (`decodeImages`): PNG/JPEG through the JDK's
   * `javax.imageio` — no external codec jar needed — with magic-byte
   * sniffing and a never-throw fallback for unknown/corrupt payloads.
-  * Audio/video feature extraction (`extractFeatures`) remains a
-  * clearly-marked deterministic STUB (no such codec libs in this
-  * container); its Spark-side plumbing — schema, binary encoding, batch
-  * shape, partition-level init — is real and tested.
+  * AUDIO decode is REAL too (`decodeAudio`, r6): WAV/PCM through the JDK's
+  * `javax.sound.sampled`, same batch shape and fallback contract.
+  * VIDEO feature extraction (`extractFeatures`) remains a clearly-marked
+  * deterministic STUB (no video codec libs in this container); its
+  * Spark-side plumbing — schema, binary encoding, batch shape,
+  * partition-level init — is real and tested.
   */
 object MultimodalOps {
 
@@ -189,6 +191,152 @@ object MultimodalOps {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // ---- real audio decode (JDK-only, javax.sound.sampled) -----------------
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false), // wav | unknown
+    StructField("channels", IntegerType, nullable = false), // -1 when undecodable
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    /** Exact per-channel PCM sample sums — like the image raster sums,
+      * integer-exact for lossless PCM, so a SQL oracle can recompute them
+      * from the closed-form sample function.
+      */
+    StructField("chan_sum", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+  ))
+
+  /** RIFF/WAVE container sniff (bytes 0-3 "RIFF", 8-11 "WAVE"). */
+  private def sniffAudio(b: Array[Byte]): String =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else "unknown"
+
+  /** REAL audio decode over a binary column — WAV/PCM payloads through the
+    * JDK's `javax.sound.sampled` (no external codec jar): the platform
+    * AudioFileReader parses the RIFF chunk structure and hands back the
+    * format (channels / rate / sample width / endianness) plus the PCM
+    * stream, which is summed per channel exactly. Same per-partition batch
+    * shape and never-throw fallback contract as `decodeImages` — an
+    * unknown container, a corrupt header, or an unsupported encoding
+    * yields the `(-1, …, [])` row, never a task failure. 16-bit (either
+    * endianness, signed) and 8-bit (signed or unsigned) PCM are summed;
+    * anything else falls back.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long").as("doc_id"), col(binCol).as("payload"))
+    val enc = Encoders.row(audioSchema)
+    input.mapPartitions { rows =>
+      // per-partition init surface: the AudioFileReader SPI registry loads here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes0 = r.getAs[Array[Byte]](1)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+        def undecodable = Row(id, "unknown", -1, -1, -1L, Seq.empty[Long], bytes.length.toLong)
+        if (sniffAudio(bytes) != "wav") undecodable
+        else {
+          val decoded =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                val ch = fmt.getChannels
+                val bits = fmt.getSampleSizeInBits
+                val signed = fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                val big = fmt.isBigEndian
+                if (ch < 1 || (bits != 16 && bits != 8)) None
+                else {
+                  val pcm = ais.readAllBytes()
+                  val bytesPerSample = bits / 8
+                  val frameBytes = ch * bytesPerSample
+                  val frames = pcm.length / frameBytes
+                  val sums = new Array[Long](ch)
+                  var i = 0
+                  while (i < frames) {
+                    var c = 0
+                    while (c < ch) {
+                      val o = (i * ch + c) * bytesPerSample
+                      val s =
+                        if (bits == 16) {
+                          val (lo, hi) = if (big) (pcm(o + 1), pcm(o)) else (pcm(o), pcm(o + 1))
+                          ((hi << 8) | (lo & 0xff)).toShort.toLong
+                        } else if (signed) pcm(o).toLong
+                        else (pcm(o) & 0xff).toLong
+                      sums(c) += s
+                      c += 1
+                    }
+                    i += 1
+                  }
+                  Some(Row(id, "wav", ch, fmt.getSampleRate.toInt, frames.toLong,
+                    sums.toSeq, bytes.length.toLong))
+                }
+              } finally ais.close()
+            } catch {
+              // UnsupportedAudioFileException on odd chunk layouts, plus
+              // whatever RuntimeExceptions a corrupt header provokes in the
+              // SPI readers — every one takes the fallback row
+              case scala.util.control.NonFatal(_) => None
+            }
+          decoded.getOrElse(undecodable)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PCM16 WAV payloads for driving the audio decode
+    * end-to-end: doc `d` is `1 + d%2` channels × `64 + d%33` frames at
+    * 8 kHz, sample `(d, frame i, channel c) = ((211d + 31i + 97c + 128)
+    * mod 4001) − 2000` — a closed form a SQL oracle recomputes exactly
+    * (SparkEntry m04 / OpsSpec). Encoded per partition with the JDK WAV
+    * writer.
+    */
+  def renderTestWavs(df: DataFrame, idCol: String): DataFrame = {
+    val input = df.select(col(idCol).cast("long").as("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        Row(d, testWav(d))
+      }
+    }(enc)
+  }
+
+  /** Closed-form sample value of test WAV `d` (see renderTestWavs). */
+  def testWavSample(d: Long, i: Int, c: Int): Int =
+    (((211 * d + 31 * i + 97 * c + 128) % 4001) - 2000).toInt
+
+  /** The WAV payload of deterministic test clip `d`. */
+  def testWav(d: Long): Array[Byte] = {
+    val ch = (1 + d % 2).toInt
+    val n = (64 + d % 33).toInt
+    val pcm = new Array[Byte](n * ch * 2)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val s = testWavSample(d, i, c)
+        val o = (i * ch + c) * 2
+        pcm(o) = (s & 0xff).toByte // little-endian
+        pcm(o + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, ch, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

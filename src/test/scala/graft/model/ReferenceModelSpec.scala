@@ -76,6 +76,40 @@ class ReferenceModelSpec extends SparkSpec {
       MO.c05.rows.map(_.toVector).sortBy(_.mkString("|")))
   }
 
+  test("row JSON escaping matches Jackson for control chars and quotes") {
+    import spark.implicits._
+    // a record whose strings exercise every escape class Jackson special-
+    // cases (short escapes, \"/\\, and bare U+0001/U+000B) — the fixtures never
+    // produce these, so lock the contract explicitly
+    val rec = ReferenceModel.Rec(
+      repo = "r\t1", conversationId = "c\"x\\y\n",
+      slaDurationSeconds = Some(3L),
+      requestingPracticeAsid = "a\u0001b\u000bc", sendingPracticeAsid = "s\r\f\b",
+      requestingSupplier = Some("Sys\tOne"), sendingSupplier = None,
+      senderErrorCodes = Vector(None, Some(12)), finalErrorCodes = Vector(),
+      intermediateErrorCodes = Vector(7), status = "S", failureReason = None,
+      dateRequestedMicros = 5L, dateCompletedMicros = None,
+      lastSenderMessageTimestampMicros = Some(9L),
+      eventCount = 1L, minOffset = 0L, maxOffset = 0L)
+    val df = Seq((rec.repo, rec.conversationId, rec.slaDurationSeconds,
+      rec.requestingPracticeAsid, rec.sendingPracticeAsid,
+      rec.requestingSupplier, rec.sendingSupplier,
+      rec.senderErrorCodes, rec.finalErrorCodes, rec.intermediateErrorCodes,
+      rec.status, rec.failureReason, rec.dateRequestedMicros,
+      rec.dateCompletedMicros, rec.lastSenderMessageTimestampMicros,
+      rec.eventCount, rec.minOffset, rec.maxOffset))
+      .toDF("repo", "conversationId", "slaDurationSeconds",
+        "requestingPracticeAsid", "sendingPracticeAsid", "requestingSupplier",
+        "sendingSupplier", "senderErrorCodes", "finalErrorCodes",
+        "intermediateErrorCodes", "status", "failureReason",
+        "dateRequestedMicros", "dateCompletedMicros",
+        "lastSenderMessageTimestampMicros", "eventCount", "minOffset",
+        "maxOffset")
+    val cols = df.columns.sorted.toIndexedSeq.map(col)
+    val engine = df.select(to_json(struct(cols: _*))).collect().head.getString(0)
+    assert(engine === ReferenceModel.rowJson(rec))
+  }
+
   test("redelivery-heavy multi-epoch alternate config agrees end to end") {
     val cfg = GenConfig(numConversations = 120, seed = 7L, hotConversations = 3,
       hotFragments = 40, redeliveryPermille = 200, epochs = 3)

@@ -382,6 +382,59 @@ class OpsSpec extends SparkSpec {
       "null payload must take the fallback row")
   }
 
+  test("sampled audio decode round-trips deterministic WAVs to exact sums") {
+    val ids = Seq(0L, 1L, 7L, 33L, 64L).toDF("doc_id")
+    val got = MultimodalOps.decodeAudio(
+        MultimodalOps.renderTestWavs(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (d <- Seq(0L, 1L, 7L, 33L, 64L)) {
+      val ch = (1 + d % 2).toInt
+      val n = (64 + d % 33).toInt
+      // closed-form oracle, recomputed independently of the codec
+      val sums = Array.tabulate(ch)(c =>
+        (0 until n).map(i => MultimodalOps.testWavSample(d, i, c).toLong).sum)
+      val r = got(d)
+      assert(r.getAs[String]("format") == "wav")
+      assert(r.getAs[Int]("channels") == ch)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("n_frames") == n.toLong)
+      assert(r.getSeq[Long](r.fieldIndex("chan_sum")) == sums.toSeq,
+        s"doc $d sample sums diverge from the closed form")
+      assert(r.getAs[Long]("n_bytes") > (n * ch * 2).toLong) // payload + header
+    }
+  }
+
+  test("audio decode handles 8-bit PCM and never throws on bad payloads") {
+    // 8-bit unsigned PCM: a different sample layout through the same reader
+    val pcm8 = Array.tabulate(40)(i => ((i * 37 + 11) % 256).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 40L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val rows = Seq(
+      (1L, out.toByteArray),
+      (2L, "definitely not audio".getBytes("UTF-8")),
+      // RIFF/WAVE magic but a truncated body — the corrupt-payload fallback
+      (3L, "RIFF    WAVE".getBytes("ISO-8859-1")),
+      (4L, null: Array[Byte]),
+    ).toDF("doc_id", "payload")
+    val got = MultimodalOps.decodeAudio(rows, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("format") == "wav")
+    assert(got(1L).getAs[Int]("channels") == 1)
+    assert(got(1L).getAs[Long]("n_frames") == 40L)
+    assert(got(1L).getSeq[Long](got(1L).fieldIndex("chan_sum")) ==
+      Seq(pcm8.map(b => (b & 0xff).toLong).sum))
+    assert(got(2L).getAs[String]("format") == "unknown" &&
+      got(2L).getAs[Int]("channels") == -1)
+    assert(got(3L).getAs[String]("format") == "unknown",
+      "corrupt WAV must fall back, not throw")
+    assert(got(4L).getAs[String]("format") == "unknown" &&
+      got(4L).getAs[Long]("n_bytes") == 0L)
+  }
+
   test("language marker hits drive the guess; no hits → und") {
     val rows = Seq(
       "the cat and the dog in a house",   // en markers
