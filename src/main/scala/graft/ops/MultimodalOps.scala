@@ -61,7 +61,8 @@ object MultimodalOps {
       // real pipeline: val decoder = Codec.load() — once per partition
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes0 = r.getAs[Array[Byte]](1)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
         val (frames, mean, feat) = decodeStub(bytes)
         Row(id, bytes.length.toLong, frames, mean, feat)
       }
@@ -157,7 +158,15 @@ object MultimodalOps {
     * (SparkEntry m03 / OpsSpec). Encoded per partition with the JDK PNG
     * writer.
     */
-  def renderTestImages(df: DataFrame, idCol: String): DataFrame = {
+  def renderTestImages(df: DataFrame, idCol: String): DataFrame =
+    renderPayloads(df, idCol)(testImagePng)
+
+  /** Shared scaffold of the deterministic payload renderers: id → binary
+    * payload, batched per partition (encoder init amortizes like the
+    * decoders').
+    */
+  private def renderPayloads(df: DataFrame, idCol: String)(
+      render: Long => Array[Byte]): DataFrame = {
     val input = df.select(col(idCol).cast("long").as("doc_id"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -166,7 +175,7 @@ object MultimodalOps {
     input.mapPartitions { rows =>
       rows.map { r =>
         val d = r.getLong(0)
-        Row(d, testImagePng(d))
+        Row(d, render(d))
       }
     }(enc)
   }
@@ -249,8 +258,13 @@ object MultimodalOps {
                 val bits = fmt.getSampleSizeInBits
                 val signed = fmt.getEncoding ==
                   javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                val unsigned = fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
                 val big = fmt.isBigEndian
-                if (ch < 1 || (bits != 16 && bits != 8)) None
+                // gate on ENCODING too: ULAW/ALAW WAVs report bits=8 but
+                // their code bytes are not PCM samples — they must take
+                // the fallback, not be summed as if linear
+                if (ch < 1 || !(signed || unsigned) || (bits != 16 && bits != 8)) None
                 else {
                   val pcm = ais.readAllBytes()
                   val bytesPerSample = bits / 8
@@ -263,9 +277,9 @@ object MultimodalOps {
                     while (c < ch) {
                       val o = (i * ch + c) * bytesPerSample
                       val s =
-                        if (bits == 16) {
-                          val (lo, hi) = if (big) (pcm(o + 1), pcm(o)) else (pcm(o), pcm(o + 1))
-                          ((hi << 8) | (lo & 0xff)).toShort.toLong
+                        if (bits == 16) { // no per-sample tuple allocation
+                          if (big) ((pcm(o) << 8) | (pcm(o + 1) & 0xff)).toShort.toLong
+                          else ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toShort.toLong
                         } else if (signed) pcm(o).toLong
                         else (pcm(o) & 0xff).toLong
                       sums(c) += s
@@ -296,19 +310,8 @@ object MultimodalOps {
     * (SparkEntry m04 / OpsSpec). Encoded per partition with the JDK WAV
     * writer.
     */
-  def renderTestWavs(df: DataFrame, idCol: String): DataFrame = {
-    val input = df.select(col(idCol).cast("long").as("doc_id"))
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = Encoders.row(schema)
-    input.mapPartitions { rows =>
-      rows.map { r =>
-        val d = r.getLong(0)
-        Row(d, testWav(d))
-      }
-    }(enc)
-  }
+  def renderTestWavs(df: DataFrame, idCol: String): DataFrame =
+    renderPayloads(df, idCol)(testWav)
 
   /** Closed-form sample value of test WAV `d` (see renderTestWavs). */
   def testWavSample(d: Long, i: Int, c: Int): Int =

@@ -315,6 +315,13 @@ class OpsSpec extends SparkSpec {
   }
 
   test("multimodal features are the deterministic function of the bytes") {
+    // the null payload must take the zero row, not NPE the task — same
+    // contract as the real decoders
+    val nullRow = MultimodalOps.extractFeatures(
+      Seq((9L, null: Array[Byte])).toDF("doc_id", "payload"),
+      "doc_id", "payload").collect().head
+    assert(nullRow.getAs[Long]("n_bytes") == 0L &&
+      nullRow.getAs[Long]("n_frames") == 0L)
     val docs = Seq((1L, "abcd" * 600)).toDF("doc_id", "text") // 2400 bytes
       .withColumn("payload", encode(col("text"), "UTF-8"))
     val row = MultimodalOps.extractFeatures(docs, "doc_id", "payload").collect().head
@@ -420,7 +427,18 @@ class OpsSpec extends SparkSpec {
       (3L, "RIFF    WAVE".getBytes("ISO-8859-1")),
       (4L, null: Array[Byte]),
     ).toDF("doc_id", "payload")
-    val got = MultimodalOps.decodeAudio(rows, "doc_id", "payload")
+    // ULAW: reports bits=8 through the same reader, but its code bytes are
+    // NOT linear PCM — must take the fallback, never be summed as samples
+    val ulawOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8),
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+        40L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, ulawOut)
+    val rows2 = rows.unionByName(Seq((5L, ulawOut.toByteArray)).toDF("doc_id", "payload"))
+    val got = MultimodalOps.decodeAudio(rows2, "doc_id", "payload")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(got(1L).getAs[String]("format") == "wav")
     assert(got(1L).getAs[Int]("channels") == 1)
@@ -433,6 +451,8 @@ class OpsSpec extends SparkSpec {
       "corrupt WAV must fall back, not throw")
     assert(got(4L).getAs[String]("format") == "unknown" &&
       got(4L).getAs[Long]("n_bytes") == 0L)
+    assert(got(5L).getAs[String]("format") == "unknown",
+      "non-PCM (ULAW) WAV must fall back, not sum code bytes as PCM")
   }
 
   test("language marker hits drive the guess; no hits → und") {
