@@ -27,6 +27,17 @@ class PlanSpec extends SparkSpec {
       s"IN filter should push to parquet: ${scan.metadata("PushedFilters")}")
   }
 
+  test("m03/m04: decode queries prune the documents scan to doc_id and push the range filter") {
+    for (q <- Seq("m03_img_decode", "m04_audio_decode")) {
+      val scan = scanOf(SparkEntry.queries(q)(spark, sf))
+      val read = scan.requiredSchema.fieldNames.toSet
+      assert(read == Set("doc_id"),
+        s"$q should read ONLY doc_id (payloads are rendered, text never scanned), got $read")
+      assert(scan.metadata("PushedFilters").contains("LessThan(doc_id,256)"),
+        s"$q doc_id<256 should push to parquet: ${scan.metadata("PushedFilters")}")
+    }
+  }
+
   test("q02: range predicate pushes down to the scan") {
     val df = SparkEntry.queries("q02_filter_window")(spark, sf)
     val pushed = scanOf(df).metadata("PushedFilters")
