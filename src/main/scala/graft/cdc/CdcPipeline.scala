@@ -493,6 +493,12 @@ final class CdcEngine(
 
   @volatile private var dimInited: Boolean = false
 
+  /** Distinct months of the constructor seed dim (memoized tiny collect) —
+    * `pendingReEnrich` needs month PRESENCE at the watermark to detect
+    * deltas that introduce a new month (whole-month fallback semantics).
+    */
+  @volatile private var seedDimMonthsMemo: Option[Set[Int]] = None
+
   /** Memoized `state.bornWith("parsed")` — the birth schema is immutable
     * once the first commit exists, so the per-epoch manifest listing +
     * JSON parse it costs is paid at most once. Left un-cached while the
@@ -1248,20 +1254,45 @@ final class CdcEngine(
     if (asids.isEmpty) return None
     val yms = deltas.select(col("yearMonth").cast("int")).distinct()
       .as[Int].collect().toSet
-    val affectedMonths = yms.flatMap(ym =>
-      Set(ym, if (ym % 100 == 12) ym + 89 else ym + 1)) // m and m+1 (fallback reach)
+    def nextM(ym: Int): Int = if (ym % 100 == 12) ym + 89 else ym + 1
+    val affectedMonths = yms.flatMap(ym => Set(ym, nextM(ym))) // fallback reach
+    // WHOLE-MONTH fallback semantics (organisation_metadata_monthly.py:
+    // 26-34): a delta that INTRODUCES a previously-absent month changes
+    // resolution for EVERY asid of the request months that month serves —
+    // qm = m (was prev-month-or-null, now m) and qm = m+1 when m+1 itself
+    // has no snapshot (was null, now falls back to m). Those months'
+    // transfers are re-enriched wholesale, not asid-scoped. Presence at
+    // the watermark = seed months ∪ dimlog rows committed ≤ v0 (both
+    // broadcast-small reads).
+    val monthsAtV0: Set[Int] = {
+      val seed = seedDimMonthsMemo.getOrElse {
+        val s = dim.get.select(col("yearMonth").cast("int")).distinct()
+          .as[Int].collect().toSet
+        seedDimMonthsMemo = Some(s)
+        s
+      }
+      val old = dimlog.get.snapshot(spark, asOf = v0)
+      if (old.columns.isEmpty) seed
+      else seed ++ old.select(col("yearMonth").cast("int")).distinct()
+        .as[Int].collect().toSet
+    }
+    val introduced = yms.filterNot(monthsAtV0)
+    val monthWide = introduced ++ introduced.map(nextM).filterNot(monthsAtV0)
     val t = transfers.snapshot(spark, asOf = asOf)
     if (t.columns.isEmpty) return None
     val ymCol = (year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
       month(timestamp_micros(col("dateRequestedMicros")))).cast("int")
-    val affected = t.filter(
+    val asidScoped =
       (col("requestingPracticeAsid").isin(asids.toSeq: _*) ||
         col("sendingPracticeAsid").isin(asids.toSeq: _*)) &&
-        ymCol.isin(affectedMonths.toSeq: _*))
+        ymCol.isin(affectedMonths.toSeq: _*)
+    val affected = t.filter(
+      if (monthWide.isEmpty) asidScoped
+      else asidScoped || ymCol.isin(monthWide.toSeq: _*))
     val kept = excludeRepos.fold(affected)(ex =>
       affected.join(ex.distinct(), Seq("repo"), "left_anti"))
     Some(Enrichment.enrich(kept, activeDim.get,
-      monthsHint = Some(affectedMonths.toSeq)))
+      monthsHint = Some((affectedMonths ++ monthWide).toSeq)))
   }
 
   /** Commit the pending retro-correction on the enriched chain NOW, as its

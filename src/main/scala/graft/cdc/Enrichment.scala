@@ -34,8 +34,9 @@ object Enrichment {
 
   /** Deterministic dim generator: `numAsids` practices over the given
     * months; ~1/7 of asids are missing from each month after the first
-    * (previous-month fallback fixture), ~1/11 missing everywhere
-    * (null-pad-on-miss fixture).
+    * (asid-absent-from-a-present-month → null-pad fixture; callers that
+    * DROP a whole month exercise the month-level fallback), ~1/11 missing
+    * everywhere (null-pad-on-miss fixture).
     */
   def generateDim(spark: SparkSession, numAsids: Int, yearMonths: Seq[Int]): DataFrame = {
     import spark.implicits._
@@ -119,27 +120,33 @@ object Enrichment {
     else spark.read.parquet(paths: _*)
   }
 
-  /** Expand the dim to one EFFECTIVE row per (asid, query month): the query
-    * month's snapshot, falling back EXACTLY ONE month — the reference falls
-    * back a single month and raises if that is also missing
-    * (`organisation_metadata_monthly.py:26-34`); here an asid with only
-    * older snapshots yields no row, so the join null-pads instead of
-    * silently enriching from arbitrarily stale metadata. Runs on the dim
-    * only — broadcastable output.
+  /** Expand the dim to one EFFECTIVE row per (asid, query month), with the
+    * reference's WHOLE-MONTH fallback (`organisation_metadata_monthly.py:
+    * 26-34`): a query month resolves to its own snapshot when ANY row of
+    * that month exists, else to the previous month's snapshot as a whole;
+    * an asid absent from the resolved month null-pads — it does NOT fall
+    * back individually (the reference probes exactly one month's lookup,
+    * `transfer_service.py:105-114`; its e2e vectors pin this: an asid
+    * present in 2019-12 but dropped from 2020-01 enriches January
+    * transfers as null). A month with neither snapshot yields no rows
+    * (null-pad; the reference raises — `missingDimMonths` surfaces it).
+    * Runs on the dim only (one tiny distinct-months job on a
+    * broadcast-small input) — broadcastable output.
     */
   def effectiveAsOf(dim: DataFrame, queryMonths: Seq[Int]): DataFrame = {
+    import dim.sparkSession.implicits._
     val months = queryMonths.distinct.sorted
-    // yyyymm arithmetic: previous month of yyyy01 is (yyyy-1)12
-    val prevMonth = when(pmod(col("qm"), lit(100)) === 1, col("qm") - 89)
-      .otherwise(col("qm") - 1)
-    dim
-      .withColumn("qm", explode(lit(months.toArray)))
-      .filter(col("yearMonth") <= col("qm") && col("yearMonth") >= prevMonth)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("asid", "qm").orderBy(col("yearMonth").desc)))
-      .filter(col("rn") === 1)
-      .drop("rn", "yearMonth")
-      .withColumnRenamed("qm", "yearMonth")
+    val present = dim.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
+    def prev(ym: Int): Int = if (ym % 100 == 1) ym - 89 else ym - 1
+    val mapping = months.flatMap { qm =>
+      if (present(qm)) Some((qm, qm))
+      else if (present(prev(qm))) Some((qm, prev(qm)))
+      else None
+    }
+    val mapDf = mapping.toDF("__qm", "__src")
+    dim.join(broadcast(mapDf), col("yearMonth") === col("__src"))
+      .drop("yearMonth", "__src")
+      .withColumnRenamed("__qm", "yearMonth")
   }
 
   /** Query months with NO dim snapshot in {month, previous month} — the case

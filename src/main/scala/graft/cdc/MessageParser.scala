@@ -129,9 +129,6 @@ object MessageParser {
   def parseMessageRef(raw: String): Option[String] =
     if (raw == null || raw.isEmpty || raw == "NotProvided") None else Some(raw)
 
-  private def opt(raw: String): Option[String] =
-    if (raw == null || raw.isEmpty) None else Some(raw)
-
   /** Intern the four interaction-id constants: saves one string allocation
     * per event and enables reference-equality downstream.
     */
@@ -175,8 +172,12 @@ object MessageParser {
         toPartyAsid = field(5),
         messageRef = parseMessageRef(field(6)),
         errorCode = parseErrorCode(field(7)),
-        toSystem = opt(field(8)),
-        fromSystem = opt(field(9)),
+        // the reference null-encodes ONLY messageRef/jdiEvent; the system
+        // columns pass through verbatim — an empty CSV field stays "" (the
+        // reference goldens show "" suppliers, not null:
+        // message.py:76-77 `item.get(...)` over a DictReader row)
+        toSystem = Some(field(8)),
+        fromSystem = Some(field(9)),
       )
     catch {
       case e: MalformedChangeEventError => throw e

@@ -55,6 +55,11 @@ final case class PipelineConfig(
       * seq (GRAFT_MI_INPUT).
       */
     miReferenceFormat: Boolean = false,
+    /** GRAFT_INPUT_FORMAT=spine-csv: inputs are the reference's NATIVE
+      * quoted spine-message CSVs (SpineCsvSource) instead of this engine's
+      * change-log envelope (ChangeLogSource).
+      */
+    spineNative: Boolean = false,
 )
 
 object PipelineConfig {
@@ -96,6 +101,7 @@ object PipelineConfig {
       },
       miOutput = env.get("GRAFT_MI_OUTPUT"),
       miReferenceFormat = env.contains("GRAFT_MI_INPUT_BASE"),
+      spineNative = env.get("GRAFT_INPUT_FORMAT").contains("spine-csv"),
     )
   }
 }
@@ -104,7 +110,9 @@ object TransferPipelineJob {
 
   /** Spine branch: scan → classify → window filter → (enrich) → daily export. */
   def runSpine(spark: SparkSession, cfg: PipelineConfig): Long = {
-    val events = ChangeLogSource.readCsv(spark, cfg.inputPaths: _*)
+    val events =
+      if (cfg.spineNative) graft.sources.SpineCsvSource.read(spark, cfg.inputPaths: _*)
+      else ChangeLogSource.readCsv(spark, cfg.inputPaths: _*)
     val w = cfg.window
     val classified = CdcPipeline.classify(events, w.cutoffMicros).toDF()
       .filter(col("dateRequestedMicros") >= lit(w.startMicros) &&

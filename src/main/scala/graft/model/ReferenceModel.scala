@@ -98,7 +98,6 @@ object ReferenceModel {
   def parseMsg(line: String): Msg = {
     val f = line.split(",", -1)
     require(f.length == 10, s"model: expected 10 CSV fields, got ${f.length}: $line")
-    def opt(s: String): Option[String] = if (s == null || s.isEmpty) None else Some(s)
     Msg(
       timeMicros = parseTimeMicros(f(0)),
       conversationId = f(1),
@@ -108,8 +107,9 @@ object ReferenceModel {
       toAsid = f(5),
       messageRef = if (f(6).isEmpty || f(6) == "NotProvided") None else Some(f(6)),
       errorCode = if (f(7).isEmpty || f(7) == "NONE") None else Some(f(7).toInt),
-      toSystem = opt(f(8)),
-      fromSystem = opt(f(9)),
+      // systems pass through verbatim — "" stays "" (message.py:76-77)
+      toSystem = Some(f(8)),
+      fromSystem = Some(f(9)),
     )
   }
 
@@ -350,22 +350,58 @@ object ReferenceModel {
   )
   private val NullPractice = Practice(None, None, None, None)
 
-  /** As-of monthly lookup: the request month's snapshot, falling back
-    * EXACTLY one month (`organisation_metadata_monthly.py:26-34`), resolving
-    * asid → (ods, name, sicbl ods, sicbl name) per
-    * `organisation_lookup.py:14-45`; null-pad on miss
-    * (`transfer_service.py:105-114`).
+  /** As-of monthly lookup with the reference's WHOLE-MONTH fallback
+    * (`organisation_metadata_monthly.py:26-34`): the request month's
+    * lookup when that month has a snapshot at all, else the previous
+    * month's lookup; the resolved month is then probed per asid with
+    * null-pad on miss (`transfer_service.py:105-114`,
+    * `organisation_lookup.py:14-45`) — an asid absent from a PRESENT
+    * month does not fall back individually.
     */
   final class DimLookup(rows: Seq[OrgDimRow]) {
-    private val byKey: Map[(String, Int), OrgDimRow] =
-      rows.map(r => (r.asid, r.yearMonth) -> r).toMap
+    private val byMonth: Map[Int, Map[String, OrgDimRow]] =
+      rows.groupBy(_.yearMonth).view
+        .mapValues(_.map(r => r.asid -> r).toMap) // .toMap = last wins
+        .toMap
     private def prev(ym: Int): Int = if (ym % 100 == 1) ym - 89 else ym - 1
     def resolve(asid: String, ym: Int): Practice =
-      byKey.get((asid, ym)).orElse(byKey.get((asid, prev(ym)))) match {
-        case Some(r) => Practice(Some(r.odsCode), Some(r.name),
-          Some(r.sicblOdsCode), Some(r.sicblName))
+      byMonth.get(ym).orElse(byMonth.get(prev(ym))).flatMap(_.get(asid)) match {
+        // Option(…), not Some(…): a practice with no sicbl mapping carries
+        // null sicbl fields (organisation_lookup.py `.get` → None)
+        case Some(r) => Practice(Option(r.odsCode), Option(r.name),
+          Option(r.sicblOdsCode), Option(r.sicblName))
         case None => NullPractice
       }
+  }
+
+  /** Parse one monthly `organisationMetadata.json` (the reference's native
+    * dim format) into flat dim rows — transliterated from
+    * `organisation_lookup.py:14-30`: one row per (asid, month) via each
+    * practice's asids list; duplicate asids / practice-ods across entries:
+    * LAST entry wins (dict-comprehension overwrite); sicbl fields null when
+    * no sicbl lists the practice.
+    */
+  def odsDimRows(json: String): Seq[OrgDimRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val ym = root.get("year").asInt * 100 + root.get("month").asInt
+    val sicblByPractice = scala.collection.mutable.HashMap.empty[String, (String, String)]
+    root.get("sicbls").forEach { s =>
+      s.get("practices").forEach { p =>
+        sicblByPractice.update(p.asText, (s.get("ods_code").asText, s.get("name").asText))
+      }
+    }
+    val byAsid = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    root.get("practices").forEach { p =>
+      p.get("asids").forEach { a =>
+        byAsid.update(a.asText, (p.get("ods_code").asText, p.get("name").asText))
+      }
+    }
+    byAsid.iterator.map { case (asid, (ods, name)) =>
+      val sicbl = sicblByPractice.get(ods)
+      OrgDimRow(asid, ods, name,
+        sicbl.map(_._1).orNull, sicbl.map(_._2).orNull, ym)
+    }.toSeq
   }
 
   def requestYearMonth(micros: Long): Int = {

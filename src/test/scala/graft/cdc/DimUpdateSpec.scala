@@ -93,18 +93,46 @@ class DimUpdateSpec extends SparkSpec {
       "retro-correction + refreshed-dim epochs must equal one-shot enrichment")
     assert(after != preUpdate, "the refreshed names must be visible")
 
-    // the retro ride happened on epoch 2's enriched commit: O(affected)
-    // lineage plus the dim-version watermark
+    // the retro ride happened on epoch 2's enriched commit: this delta
+    // INTRODUCES month 202001 (absent from the base dim), which under the
+    // reference's whole-month fallback changes resolution for EVERY
+    // January transfer — so the affected set is the full table here
     val m2 = eng.enriched.get.manifestAt(2L).get
     val n = m2.lineage("reEnriched")
-    assert(n > 0 && n < preUpdate.size,
-      s"re-enriched $n of ${preUpdate.size} rows — must be the affected subset")
+    assert(n == preUpdate.size,
+      s"re-enriched $n of ${preUpdate.size} rows — a month-introducing " +
+        "delta must re-enrich every transfer the new month serves")
     assert(m2.metadata(CdcEngine.DimVersionKey) == "0")
     // later epochs carry no further retro work
     assert(!eng.enriched.get.manifestAt(3L).get.lineage.contains("reEnriched"))
     // and the delta rows are durable on the dimlog chain
     assert(eng.dimlog.get.manifestAt(0L).get.kind == "dim-update")
     assert(eng.dimlog.get.manifestAt(0L).get.lineage("deltaRows") == 3L)
+  }
+
+  test("a non-introducing delta stays asid-scoped: O(affected), not O(table)") {
+    val eng = new CdcEngine(tmpDir("dimupd-scoped"), numBuckets = 8,
+      cutoffMicros = 14 * day,
+      // 202001 present from the start — transfers resolve via their own
+      // month, and a delta that only UPDATES existing months cannot change
+      // resolution for asids it does not touch
+      dim = Some(Enrichment.generateDim(spark, numAsids = 997,
+        yearMonths = Seq(201912, 202001))))
+    (0L to 1L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+    val total = rowMap(eng.currentEnriched(spark)).size
+    val scopedDelta = targetAsids.map(a => Enrichment.OrgDimRow(a, s"O-$a-upd2",
+      s"Practice $a (refreshed)", "S900", "SICBL 900", 202001)).toDF()
+    eng.applyDimUpdate(spark, scopedDelta, version = 0L)
+    eng.applyEpoch(spark, log.filter(_.epoch == 2L), 2L)
+    val n = eng.enriched.get.manifestAt(2L).get.lineage("reEnriched")
+    assert(n > 0 && n < total,
+      s"re-enriched $n of $total rows — must be the asid-affected subset")
+    // and the result still equals the one-shot batch with the folded dim
+    val folded = foldDelta(
+      Enrichment.generateDim(spark, numAsids = 997,
+        yearMonths = Seq(201912, 202001)), scopedDelta)
+    assert(rowMap(eng.currentEnriched(spark)) ==
+      rowMap(batchEnrich(log.filter(_.epoch <= 2L), folded)))
   }
 
   test("flushDimUpdates retro-corrects immediately when no ingest follows") {

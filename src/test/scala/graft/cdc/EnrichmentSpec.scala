@@ -25,16 +25,24 @@ class EnrichmentSpec extends SparkSpec {
     assert(byAsid.values.exists(_ < 3), "some asids have gap months")
   }
 
-  test("effectiveAsOf picks the latest snapshot ≤ query month (fallback)") {
+  test("effectiveAsOf: whole-month fallback — a present month never mixes with older ones") {
     val eff = Enrichment.effectiveAsOf(dim, Seq(201912, 202001))
-    // asid-6: (6+1)%7==0 → missing in month index 1 (201912) → falls back to 201911
+    // asid-6: (6+1)%7==0 → missing from the PRESENT 201912 snapshot → no
+    // row for that query month (reference: the month's lookup is probed,
+    // miss → null-pad; NO per-asid fallback — its e2e vectors pin this)
     val a6 = eff.filter($"asid" === "asid-6" && $"yearMonth" === 201912)
       .select("odsCode").as[String].collect()
-    assert(a6.toSeq == Seq("O00006-201911"))
+    assert(a6.isEmpty, s"per-asid fallback must not happen: ${a6.toSeq}")
     // and in 202001 (present again) → its own snapshot
     val a6b = eff.filter($"asid" === "asid-6" && $"yearMonth" === 202001)
       .select("odsCode").as[String].collect()
     assert(a6b.toSeq == Seq("O00006-202001"))
+    // a query month with NO snapshot takes the previous month AS A WHOLE
+    val effFb = Enrichment.effectiveAsOf(
+      dim.filter($"yearMonth" =!= 202001), Seq(202001))
+    val a1 = effFb.filter($"asid" === "asid-1" && $"yearMonth" === 202001)
+      .select("odsCode").as[String].collect()
+    assert(a1.toSeq == Seq("O00001-201912"))
   }
 
   test("fallback is bounded to one month — staler snapshots do not leak") {
@@ -50,8 +58,8 @@ class EnrichmentSpec extends SparkSpec {
 
   test("enrich joins both practice roles as-of month, null-pads misses") {
     val transfers = Seq(
-      // month 201912: requester asid-6 (gap month → 201911 snapshot),
-      // sender asid-10 (never in dim → nulls)
+      // month 201912 is PRESENT: requester asid-6 (absent from it → nulls,
+      // no per-asid fallback), sender asid-10 (never in dim → nulls)
       ("r1", "asid-6", "asid-10", microsOf(201912, 15)),
       // month 202001: both present
       ("r2", "asid-1", "asid-2", microsOf(202001, 3)),
@@ -60,7 +68,7 @@ class EnrichmentSpec extends SparkSpec {
     val out = Enrichment.enrich(transfers, dim).collect()
       .map(r => r.getAs[String]("repo") -> r).toMap
 
-    assert(out("r1").getAs[String]("requesting_practice_ods_code") == "O00006-201911")
+    assert(out("r1").getAs[String]("requesting_practice_ods_code") == null)
     assert(out("r1").getAs[String]("sending_practice_ods_code") == null)
     assert(out("r1").getAs[String]("sending_practice_name") == null)
     assert(out("r2").getAs[String]("requesting_practice_ods_code") == "O00001-202001")

@@ -33,7 +33,11 @@ class MessageParserSpec extends AnyFunSuite {
       Some("EMIS Web"), Some("Vision"))
     assert(MessageParser.parse(MessageParser.format(m)) == m)
     assert(MessageParser.parse(MessageParser.format(m, "BST")) == m)
-    val noOpts = m.copy(messageRef = None, errorCode = None, fromSystem = None, toSystem = None)
+    // ref/error null-encode; SYSTEM columns pass through verbatim — an
+    // empty field parses to Some("") like the reference's DictReader row
+    // (message.py:76-77; its e2e goldens show "" suppliers, not null)
+    val noOpts = m.copy(messageRef = None, errorCode = None,
+      fromSystem = Some(""), toSystem = Some(""))
     assert(MessageParser.parse(MessageParser.format(noOpts)) == noOpts)
   }
 
