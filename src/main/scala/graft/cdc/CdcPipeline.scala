@@ -499,6 +499,20 @@ final class CdcEngine(
     */
   @volatile private var seedDimMonthsMemo: Option[Set[Int]] = None
 
+  /** Months added by committed dim deltas (rebuilt from the dimlog at
+    * ensureDimState, extended per applyDimUpdate fold). seed ∪ this = the
+    * ACTIVE dim's month presence — maintained incrementally so the
+    * per-epoch enriched commit never pays `effectiveAsOf`'s presence job.
+    */
+  @volatile private var dimDeltaMonthsAcc: Set[Int] = Set.empty
+
+  private def seedDimMonths: Set[Int] = seedDimMonthsMemo.getOrElse {
+    val s = Enrichment.presentMonths(dim.get)
+    seedDimMonthsMemo = Some(s)
+    s
+  }
+  private def presentDimMonths: Set[Int] = seedDimMonths ++ dimDeltaMonthsAcc
+
   /** Memoized `state.bornWith("parsed")` — the birth schema is immutable
     * once the first commit exists, so the per-epoch manifest listing +
     * JSON parse it costs is paid at most once. Left un-cached while the
@@ -566,6 +580,7 @@ final class CdcEngine(
         val ms = snap.select(col("yearMonth").cast("int")).distinct()
           .as[Int].collect().toSet
         activeDimMonths = activeDimMonths.map(_ ++ ms)
+        dimDeltaMonthsAcc ++= ms
         dimVersion = head.epoch
       }
     }
@@ -1063,7 +1078,8 @@ final class CdcEngine(
         // pending retro-corrections derivable after a restart.
         val meta = f.meta + (CdcEngine.DimVersionKey -> dimVersion.toString)
         val base = Enrichment.enrich(f.upserts, activeDim.get,
-          monthsHint = Some(f.months))
+          monthsHint = Some(f.months),
+          presentMonthsHint = Some(presentDimMonths))
         // a pending dim refresh adds the retro-correction of the committed
         // rows it affects (minus this epoch's own upserts — already freshly
         // enriched) to THIS commit; nonEmptyPending resolves to the cached
@@ -1225,6 +1241,7 @@ final class CdcEngine(
     val ms = delta.select(col("yearMonth").cast("int")).distinct()
       .as[Int].collect().toSet
     activeDimMonths = activeDimMonths.map(_ ++ ms)
+    dimDeltaMonthsAcc ++= ms
   }
 
   /** Retro-correction rows pending from dim versions newer than the
@@ -1265,15 +1282,9 @@ final class CdcEngine(
     // the watermark = seed months ∪ dimlog rows committed ≤ v0 (both
     // broadcast-small reads).
     val monthsAtV0: Set[Int] = {
-      val seed = seedDimMonthsMemo.getOrElse {
-        val s = dim.get.select(col("yearMonth").cast("int")).distinct()
-          .as[Int].collect().toSet
-        seedDimMonthsMemo = Some(s)
-        s
-      }
       val old = dimlog.get.snapshot(spark, asOf = v0)
-      if (old.columns.isEmpty) seed
-      else seed ++ old.select(col("yearMonth").cast("int")).distinct()
+      if (old.columns.isEmpty) seedDimMonths
+      else seedDimMonths ++ old.select(col("yearMonth").cast("int")).distinct()
         .as[Int].collect().toSet
     }
     val introduced = yms.filterNot(monthsAtV0)
@@ -1292,7 +1303,8 @@ final class CdcEngine(
     val kept = excludeRepos.fold(affected)(ex =>
       affected.join(ex.distinct(), Seq("repo"), "left_anti"))
     Some(Enrichment.enrich(kept, activeDim.get,
-      monthsHint = Some((affectedMonths ++ monthWide).toSeq)))
+      monthsHint = Some((affectedMonths ++ monthWide).toSeq),
+      presentMonthsHint = Some(presentDimMonths)))
   }
 
   /** Commit the pending retro-correction on the enriched chain NOW, as its

@@ -133,10 +133,11 @@ object Enrichment {
     * Runs on the dim only (one tiny distinct-months job on a
     * broadcast-small input) — broadcastable output.
     */
-  def effectiveAsOf(dim: DataFrame, queryMonths: Seq[Int]): DataFrame = {
+  def effectiveAsOf(dim: DataFrame, queryMonths: Seq[Int],
+                    presentMonthsHint: Option[Set[Int]] = None): DataFrame = {
     import dim.sparkSession.implicits._
     val months = queryMonths.distinct.sorted
-    val present = dim.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
+    val present = presentMonthsHint.getOrElse(presentMonths(dim))
     def prev(ym: Int): Int = if (ym % 100 == 1) ym - 89 else ym - 1
     val mapping = months.flatMap { qm =>
       if (present(qm)) Some((qm, qm))
@@ -144,9 +145,30 @@ object Enrichment {
       else None
     }
     val mapDf = mapping.toDF("__qm", "__src")
-    dim.join(broadcast(mapDf), col("yearMonth") === col("__src"))
+    // deterministic within-month dedup: a caller-supplied dim (seed
+    // parquet, GRAFT_DIM_PATH) is not validated like applyDimUpdate
+    // deltas; duplicate (asid, month) rows would otherwise fan transfers
+    // out into duplicate enriched rows. Max-struct pick over the value
+    // columns — stable, no tie nondeterminism.
+    val valueCols = dim.columns.filterNot(Set("asid", "yearMonth")).sorted
+    val w = Window.partitionBy("asid", "yearMonth")
+      .orderBy(struct(valueCols.map(col).toIndexedSeq: _*).desc)
+    dim
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(broadcast(mapDf), col("yearMonth") === col("__src"))
       .drop("yearMonth", "__src")
       .withColumnRenamed("__qm", "yearMonth")
+  }
+
+  /** Distinct dim months — the one tiny collect job `effectiveAsOf` /
+    * `missingDimMonths` need; callers that already track presence (the CDC
+    * engine) or call both (the batch front door) pass it as the hint
+    * instead of paying it per call.
+    */
+  def presentMonths(dim: DataFrame): Set[Int] = {
+    import dim.sparkSession.implicits._
+    dim.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
   }
 
   /** Query months with NO dim snapshot in {month, previous month} — the case
@@ -154,9 +176,9 @@ object Enrichment {
     * (`organisation_metadata_monthly.py:26-34`). Callers decide the policy:
     * the job front door logs + counts, the engine lands a lineage counter.
     */
-  def missingDimMonths(dim: DataFrame, queryMonths: Seq[Int]): Seq[Int] = {
-    import dim.sparkSession.implicits._
-    val present = dim.select(col("yearMonth").cast("int")).distinct().as[Int].collect().toSet
+  def missingDimMonths(dim: DataFrame, queryMonths: Seq[Int],
+                       presentMonthsHint: Option[Set[Int]] = None): Seq[Int] = {
+    val present = presentMonthsHint.getOrElse(presentMonths(dim))
     def prev(ym: Int): Int = if (ym % 100 == 1) ym - 89 else ym - 1
     queryMonths.distinct.sorted.filterNot(ym => present(ym) || present(prev(ym)))
   }
@@ -180,7 +202,12 @@ object Enrichment {
                * superset is safe: extra months only add unmatched dim rows
                * to the broadcast; a missing month would null-pad its rows).
                */
-             monthsHint: Option[Seq[Int]] = None): DataFrame = {
+             monthsHint: Option[Seq[Int]] = None,
+             /** Distinct dim months, when the caller already knows them —
+               * saves `effectiveAsOf`'s per-call presence job (see
+               * `presentMonths`).
+               */
+             presentMonthsHint: Option[Set[Int]] = None): DataFrame = {
     val spark = transfers.sparkSession
     import spark.implicits._
     val months = monthsHint.getOrElse(transfers
@@ -197,7 +224,7 @@ object Enrichment {
         s"${p}_practice_ods_code", s"${p}_practice_name",
         s"${p}_practice_sicbl_ods_code", s"${p}_practice_sicbl_name"))
         .foldLeft(transfers)((df, n) => df.withColumn(n, lit(null).cast("string")))
-    val eff = effectiveAsOf(dim, months)
+    val eff = effectiveAsOf(dim, months, presentMonthsHint)
     val reqDim = eff.select(
       (col("asid").as("__req_asid") +: col("yearMonth").as("__ym_r") +:
         roleCols("requesting")): _*)

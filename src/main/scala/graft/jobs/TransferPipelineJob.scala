@@ -75,6 +75,9 @@ object PipelineConfig {
           "(reference config.py pairing rule)")
     }
     val classifyMi = env.get("GRAFT_CLASSIFY_MI").contains("true")
+    env.get("GRAFT_INPUT_FORMAT").foreach(v => require(v == "spine-csv",
+      s"unknown GRAFT_INPUT_FORMAT '$v' — supported: spine-csv " +
+        "(omit for the engine's change-log envelope CSV)"))
     def required(k: String): String = env.getOrElse(k,
       throw new IllegalArgumentException(s"$k is required"))
     PipelineConfig(
@@ -127,7 +130,8 @@ object TransferPipelineJob {
         // both lack a dim snapshot (organisation_metadata_monthly.py:26-34);
         // GRAFT_STRICT_ODS reproduces the raise, the default surfaces the
         // condition loudly and null-pads
-        val missing = Enrichment.missingDimMonths(dim, w.months)
+        val present = Enrichment.presentMonths(dim) // one job, shared below
+        val missing = Enrichment.missingDimMonths(dim, w.months, Some(present))
         if (missing.nonEmpty && cfg.strictOds)
           throw new IllegalStateException(
             s"OdsMetadataNotFound: months ${missing.mkString(",")} have no dim " +
@@ -135,7 +139,7 @@ object TransferPipelineJob {
         if (missing.nonEmpty)
           println(s"[graft] MISSING_ODS_METADATA months=${missing.mkString(",")} " +
             "— affected transfers will be null-padded")
-        Enrichment.enrich(classified, dim)
+        Enrichment.enrich(classified, dim, presentMonthsHint = Some(present))
       case None    => classified
     }
     Export.exportDaily(enriched, cfg.outputDir)

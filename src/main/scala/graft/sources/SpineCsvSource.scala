@@ -21,11 +21,15 @@ import org.apache.spark.sql.types._
   *    ingest; a re-used GUID must reach the session parser's Python-dict
   *    re-put semantics (`gp2gp_conversation.py:237-251`), so GUID dedup
   *    here would change outcomes.
-  *  - `offset` = fileDay · 2²⁰ + row index within the file (gzip CSVs are
-  *    unsplittable, so a file's rows arrive in stream order inside their
-  *    split; files can share a packed partition — the counter resets on the
-  *    file boundary). Reproduces the reference's stream order as the
-  *    deterministic tiebreak for equal-time messages.
+  *  - `offset` = fileOrdinal · 2³² + row index within the file, where the
+  *    ordinal is a dense calendar-then-path rank over the distinct file
+  *    list (collision-free by construction). Gzip CSVs are unsplittable,
+  *    so a file's rows arrive in stream order inside their one split
+  *    (enforced: non-.gz inputs are rejected — a multi-split file would
+  *    restart the row index per split); files can share a packed partition
+  *    — the counter resets on the file boundary. Reproduces the
+  *    reference's stream order as the deterministic tiebreak for
+  *    equal-time messages.
   *  - `tsMicros` = offset (arrival order, not event time — event time lives
   *    in the payload and is parsed by the fold).
   */
@@ -38,14 +42,14 @@ object SpineCsvSource {
 
   private val fileDayRe = """(\d{4})-(\d{2})-(\d{2})_spine_messages""".r.unanchored
 
-  /** Day ordinal from the v3 filename, for cross-file offset ordering;
-    * files outside the naming scheme order by path hash (still
-    * deterministic, just not calendar-ordered).
+  /** Sort key for cross-file offset ordering: the v3 filename's date when
+    * present (calendar order), else the path itself (lexicographic,
+    * deterministic).
     */
-  private def fileOrdinal(path: String): Long = path match {
+  private def fileKey(path: String): (Long, String) = path match {
     case fileDayRe(y, m, d) =>
-      java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toEpochDay
-    case _ => (path.hashCode.toLong & 0xffffffffL) + (1L << 33)
+      (java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toEpochDay, path)
+    case _ => (Long.MaxValue, path)
   }
 
   def read(spark: SparkSession, paths: String*): Dataset[ChangeEvent] = {
@@ -56,18 +60,35 @@ object SpineCsvSource {
       .option("mode", "FAILFAST")
       .csv(paths: _*)
       .select(col("_metadata.file_path").as("__file"), col("*"))
+    // one tiny driver job: the distinct file list → a dense, collision-free
+    // ordinal per file (calendar-then-path order). Also the place to
+    // enforce the unsplittability contract: per-file row indexing below is
+    // only stream order because a gzip member never splits — feed an
+    // uncompressed multi-split file through this and split 2 would restart
+    // idx at 0, silently colliding commits into classify's dedup.
+    val files = raw.select("__file").distinct().as[String].collect()
+      .sortBy(fileKey)
+    files.filterNot(_.endsWith(".gz")) match {
+      case Array() =>
+      case bad => throw new IllegalArgumentException(
+        "SpineCsvSource requires gzip inputs (unsplittable ⇒ per-file " +
+          s"stream order is well-defined); not .gz: ${bad.take(3).mkString(", ")}")
+    }
+    val ordinalOf: Map[String, Long] =
+      files.zipWithIndex.map { case (f, i) => f -> i.toLong }.toMap
     raw.mapPartitions { rows =>
       var file: String = null
       var ordinal = 0L
       var idx = 0L
       rows.map { r =>
         val f = r.getString(0)
-        if (f != file) { file = f; ordinal = fileOrdinal(f); idx = 0L }
+        if (f != file) { file = f; ordinal = ordinalOf(f); idx = 0L }
         val fields = (1 to 10).map(i => Option(r.getString(i)).getOrElse(""))
         require(fields.forall(!_.contains(",")),
           s"spine CSV field containing a comma cannot round-trip the " +
             s"message line (reference fields never do): $fields")
-        val offset = ordinal * (1L << 20) + idx
+        require(idx < (1L << 32), s"file $f exceeds 2^32 rows — offset packing overflow")
+        val offset = ordinal * (1L << 32) + idx
         idx += 1
         ChangeEvent(
           repo = fields(1), path = f, commit = s"$f#${idx - 1}",
