@@ -60,14 +60,17 @@ object SpineCsvSource {
       .option("mode", "FAILFAST")
       .csv(paths: _*)
       .select(col("_metadata.file_path").as("__file"), col("*"))
-    // one tiny driver job: the distinct file list → a dense, collision-free
-    // ordinal per file (calendar-then-path order). Also the place to
-    // enforce the unsplittability contract: per-file row indexing below is
-    // only stream order because a gzip member never splits — feed an
-    // uncompressed multi-split file through this and split 2 would restart
-    // idx at 0, silently colliding commits into classify's dedup.
-    val files = raw.select("__file").distinct().as[String].collect()
-      .sortBy(fileKey)
+    // the distinct file list from the source's FILE INDEX (metadata only —
+    // no data scan) → a dense, collision-free ordinal per file
+    // (calendar-then-path order). Also the place to enforce the
+    // unsplittability contract: per-file row indexing below is only stream
+    // order because a gzip member never splits — feed an uncompressed
+    // multi-split file through this and split 2 would restart idx at 0,
+    // silently colliding commits into classify's dedup.
+    // Path-normalize: inputFiles renders file:///…, the metadata column
+    // file:/… — both normalize to the same Path string
+    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toString
+    val files = raw.inputFiles.map(norm).sortBy(fileKey)
     files.filterNot(_.endsWith(".gz")) match {
       case Array() =>
       case bad => throw new IllegalArgumentException(
@@ -82,7 +85,11 @@ object SpineCsvSource {
       var idx = 0L
       rows.map { r =>
         val f = r.getString(0)
-        if (f != file) { file = f; ordinal = ordinalOf(f); idx = 0L }
+        if (f != file) {
+          file = f
+          ordinal = ordinalOf(new org.apache.hadoop.fs.Path(f).toString)
+          idx = 0L
+        }
         val fields = (1 to 10).map(i => Option(r.getString(i)).getOrElse(""))
         require(fields.forall(!_.contains(",")),
           s"spine CSV field containing a comma cannot round-trip the " +
