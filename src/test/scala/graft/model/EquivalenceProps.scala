@@ -15,7 +15,9 @@ import org.scalacheck.Prop.forAll
 object EquivalenceProps extends Properties("ModelEquivalence") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(400) // pure-JVM and fast; buy the extra shapes
+    // pure-JVM and fast; buy the extra shapes. GRAFT_PROPS_N soaks deeper
+    // (one-off campaign runs), default 400 keeps CI time bounded.
+    p.withMinSuccessfulTests(sys.env.get("GRAFT_PROPS_N").map(_.toInt).getOrElse(400))
 
   private val day = 24L * 3600 * 1000000L
   private val t0 = 1577836800000000L // 2020-01-01T00:00Z
