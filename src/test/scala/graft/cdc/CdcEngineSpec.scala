@@ -28,6 +28,32 @@ class CdcEngineSpec extends SparkSpec {
     eng
   }
 
+  test("aligned and legacy commit paths produce identical tables") {
+    // the aligned single-shuffle path ships as the default; the legacy
+    // per-commit-shuffle path stays as the A/B control — pin them equal
+    // in sbt (the r6 bench campaign verified this by output sha; this
+    // keeps it pinned against future drift), enriched table included
+    def run(aligned: Boolean): (Map[String, String], Map[String, String], Long) = {
+      val eng = new CdcEngine(tmpDir(s"ab-aligned-$aligned"), numBuckets = 8,
+        cutoffMicros = 14 * day,
+        dim = Some(Enrichment.generateDim(spark, numAsids = 997,
+          yearMonths = Seq(201912, 202001))),
+        alignedCommits = aligned)
+      (0L to 3L).foreach(e => eng.applyEpoch(spark, log.filter(_.epoch == e), e))
+      val enrichedShas = {
+        val df = eng.currentEnriched(spark)
+        val excluded = Set("row_sha256", "duplicatesDropped", "danglingAcks",
+          "unknownPurpose", "negativeSla")
+        val cols = df.columns.filterNot(excluded).sorted.toIndexedSeq.map(col)
+        df.select(col("repo"), sha2(to_json(struct(cols: _*)), 256).as("s"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      }
+      (shaMap(eng.currentTransfers(spark)), enrichedShas,
+        LakeTable.readSnapshot(eng.state, spark).count())
+    }
+    assert(run(aligned = true) == run(aligned = false))
+  }
+
   test("incremental epoch-by-epoch apply equals one-shot full classification") {
     val eng = buildIncremental(tmpDir("inc"), Seq(0L, 1L, 2L, 3L))
     val incremental = shaMap(eng.currentTransfers(spark))
