@@ -471,7 +471,10 @@ final class CdcEngine(
     * `ensureDimState`), so a restarted engine never silently enriches with
     * a stale dim.
     */
-  @volatile private var activeDim: Option[DataFrame] = dim
+  // seed dims are caller-supplied and unvalidated — dedup once at entry
+  // (duplicate (asid, yearMonth) rows would fan transfers out into
+  // duplicate enriched rows; effectiveAsOf expects key-unique dims)
+  @volatile private var activeDim: Option[DataFrame] = dim.map(Enrichment.dedupDim)
   def currentDim: Option[DataFrame] = { ensureDimState(); activeDim }
 
   /** Months with a dim snapshot, as currently known — the constructor
@@ -572,7 +575,8 @@ final class CdcEngine(
         import spark.implicits._
         val snap = LakeTable.readSnapshot(dl, spark)
           .select(dim.get.columns.map(col).toIndexedSeq: _*)
-        val folded = dim.get
+        // activeDim here is still the (deduped) seed — dimInited is false
+        val folded = activeDim.get
           .join(snap.select("asid", "yearMonth").distinct(),
             Seq("asid", "yearMonth"), "left_anti")
           .unionByName(snap)

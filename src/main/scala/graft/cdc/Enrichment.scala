@@ -117,7 +117,8 @@ object Enrichment {
   def loadDim(spark: SparkSession, pathSpec: String): DataFrame = {
     val paths = pathSpec.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     if (paths.nonEmpty && paths.forall(_.endsWith(".json"))) readOdsJson(spark, paths)
-    else spark.read.parquet(paths: _*)
+    // parquet is the unvalidated path — dedup once at entry (see dedupDim)
+    else dedupDim(spark.read.parquet(paths: _*))
   }
 
   /** Expand the dim to one EFFECTIVE row per (asid, query month), with the
@@ -145,20 +146,28 @@ object Enrichment {
       else None
     }
     val mapDf = mapping.toDF("__qm", "__src")
-    // deterministic within-month dedup: a caller-supplied dim (seed
-    // parquet, GRAFT_DIM_PATH) is not validated like applyDimUpdate
-    // deltas; duplicate (asid, month) rows would otherwise fan transfers
-    // out into duplicate enriched rows. Max-struct pick over the value
-    // columns — stable, no tie nondeterminism.
+    // CONTRACT: `dim` is (asid, yearMonth)-unique — readOdsJson dedups
+    // last-entry-wins, loadDim/the CDC engine run dedupDim on unvalidated
+    // parquet/seed dims at ENTRY (once), and applyDimUpdate validates its
+    // deltas — so this per-call primitive stays window-free on the
+    // per-epoch hot path
+    dim.join(broadcast(mapDf), col("yearMonth") === col("__src"))
+      .drop("yearMonth", "__src")
+      .withColumnRenamed("__qm", "yearMonth")
+  }
+
+  /** Deterministic within-month dedup for UNVALIDATED dims (caller-supplied
+    * seed / parquet): duplicate (asid, yearMonth) rows would fan every
+    * matching transfer out into duplicate enriched rows. Max-struct pick
+    * over the value columns — stable, no tie nondeterminism. Run ONCE where
+    * such a dim enters (loadDim, the engine seed), not per enrich call.
+    */
+  def dedupDim(dim: DataFrame): DataFrame = {
     val valueCols = dim.columns.filterNot(Set("asid", "yearMonth")).sorted
     val w = Window.partitionBy("asid", "yearMonth")
       .orderBy(struct(valueCols.map(col).toIndexedSeq: _*).desc)
-    dim
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    dim.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
-      .join(broadcast(mapDf), col("yearMonth") === col("__src"))
-      .drop("yearMonth", "__src")
-      .withColumnRenamed("__qm", "yearMonth")
   }
 
   /** Distinct dim months — the one tiny collect job `effectiveAsOf` /

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   *    ingest; a re-used GUID must reach the session parser's Python-dict
   *    re-put semantics (`gp2gp_conversation.py:237-251`), so GUID dedup
   *    here would change outcomes.
-  *  - `offset` = fileOrdinal · 2³² + row index within the file, where the
-  *    ordinal is a dense calendar-then-path rank over the distinct file
-  *    list (collision-free by construction). Gzip CSVs are unsplittable,
+  *  - `offset` = fileOrdinal · 2³² + row index within the file, where a
+  *    v3-dated file's ordinal is a pure function of its calendar day (so
+  *    offsets are stable and globally ordered ACROSS separate reads — an
+  *    incremental one-day-per-epoch caller keeps a deterministic total
+  *    order; see `ordinals`). Gzip CSVs are unsplittable,
   *    so a file's rows arrive in stream order inside their one split
   *    (enforced: non-.gz inputs are rejected — a multi-split file would
   *    restart the row index per split); files can share a packed partition
@@ -52,6 +54,31 @@ object SpineCsvSource {
     case _ => (Long.MaxValue, path)
   }
 
+  private val UndatedBase = 1L << 20
+
+  /** File ordinals: v3-dated files get `epochDay·16 + same-day rank` — a
+    * pure function of the calendar for the one-file-per-day layout, so
+    * offsets stay STABLE AND ORDERED ACROSS SEPARATE read() CALLS (an
+    * incremental caller reading one day per epoch still produces globally
+    * ordered, collision-free offsets; multiple files for the SAME day are
+    * ranked within the read only). Undated files rank after every dated
+    * one, per read. Bounds keep `ordinal · 2³² + idx` far from Long
+    * overflow (epochDay < 2¹⁶ ⇒ dated ordinals < 2²⁰ = UndatedBase).
+    */
+  private def ordinals(files: Seq[String]): Map[String, Long] = {
+    val (dated, undated) = files.partition(fileDayRe.findFirstIn(_).isDefined)
+    val datedOrds = dated.groupBy(f => fileKey(f)._1).toSeq.flatMap {
+      case (day, fs) =>
+        require(day < (1L << 16), s"file day $day out of ordinal range")
+        require(fs.size <= 16, s"more than 16 spine files for one day: $fs")
+        fs.sorted.zipWithIndex.map { case (f, i) => f -> (day * 16 + i) }
+    }
+    val undatedOrds = undated.sorted.zipWithIndex.map {
+      case (f, i) => f -> (UndatedBase + i)
+    }
+    (datedOrds ++ undatedOrds).toMap
+  }
+
   def read(spark: SparkSession, paths: String*): Dataset[ChangeEvent] = {
     import spark.implicits._
     val raw = spark.read
@@ -67,18 +94,23 @@ object SpineCsvSource {
     // order because a gzip member never splits — feed an uncompressed
     // multi-split file through this and split 2 would restart idx at 0,
     // silently colliding commits into classify's dedup.
-    // Path-normalize: inputFiles renders file:///…, the metadata column
-    // file:/… — both normalize to the same Path string
-    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toString
-    val files = raw.inputFiles.map(norm).sortBy(fileKey)
+    val files = raw.inputFiles.toSeq
     files.filterNot(_.endsWith(".gz")) match {
-      case Array() =>
+      case Seq() =>
       case bad => throw new IllegalArgumentException(
         "SpineCsvSource requires gzip inputs (unsplittable ⇒ per-file " +
           s"stream order is well-defined); not .gz: ${bad.take(3).mkString(", ")}")
     }
-    val ordinalOf: Map[String, Long] =
-      files.zipWithIndex.map { case (f, i) => f -> i.toLong }.toMap
+    // key the map under BOTH URI renderings: inputFiles returns decoded
+    // Path strings while the _metadata.file_path column is URI-ENCODED
+    // (Spark builds it via Path.toUri.toString — a path with a space reads
+    // back as %20), and Path normalization does not reconcile the two
+    val ordBase = ordinals(files.map(f => new org.apache.hadoop.fs.Path(f).toString))
+    val ordinalOf: Map[String, Long] = files.flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val o = ordBase(p.toString)
+      Seq(p.toString -> o, p.toUri.toString -> o)
+    }.toMap
     raw.mapPartitions { rows =>
       var file: String = null
       var ordinal = 0L
@@ -87,7 +119,9 @@ object SpineCsvSource {
         val f = r.getString(0)
         if (f != file) {
           file = f
-          ordinal = ordinalOf(new org.apache.hadoop.fs.Path(f).toString)
+          ordinal = ordinalOf.getOrElse(f,
+            ordinalOf.getOrElse(new org.apache.hadoop.fs.Path(f).toString,
+              sys.error(s"spine file $f missing from the read's file index")))
           idx = 0L
         }
         val fields = (1 to 10).map(i => Option(r.getString(i)).getOrElse(""))

@@ -76,6 +76,32 @@ class EnrichmentSpec extends SparkSpec {
     assert(out("r2").getAs[String]("sending_practice_sicbl_name") == "SICBL 2")
   }
 
+  test("duplicate (asid, month) rows in an unvalidated dim do not fan out transfers") {
+    val dup = Seq(
+      Enrichment.OrgDimRow("asid-D", "OD1", "P1", "S1", "SN1", 201912),
+      Enrichment.OrgDimRow("asid-D", "OD2", "P2", "S2", "SN2", 201912)).toDF()
+    val transfers = Seq(("r1", "asid-D", "asid-D", microsOf(201912, 5)))
+      .toDF("repo", "requestingPracticeAsid", "sendingPracticeAsid", "dateRequestedMicros")
+    val out = Enrichment.enrich(transfers, Enrichment.dedupDim(dup)).collect()
+    assert(out.length == 1, "a duplicated dim row must not duplicate the transfer")
+    // deterministic max-struct pick (OD2 > OD1)
+    assert(out.head.getAs[String]("requesting_practice_ods_code") == "OD2")
+    // the parquet loadDim branch dedups at entry
+    val dir = tmpDir("dup-dim")
+    dup.write.mode("overwrite").parquet(dir)
+    assert(Enrichment.loadDim(spark, dir).count() == 1)
+    // and an engine seeded with the duplicated dim enriches singly too
+    val log = ChangeLogGen.generate(spark,
+      GenConfig(numConversations = 10, hotConversations = 0, hotFragments = 1))
+    val eng = new CdcEngine(tmpDir("dup-dim-eng"), numBuckets = 4,
+      cutoffMicros = 14L * 24 * 3600 * 1000000L, dim = Some(dup.unionByName(
+        Enrichment.generateDim(spark, numAsids = 30, yearMonths = Seq(201912, 202001)))))
+    eng.applyEpoch(spark, log, 0L)
+    val enr = eng.currentEnriched(spark)
+    assert(enr.count() == enr.select("repo").distinct().count(),
+      "dup seed rows must not produce dup enriched rows")
+  }
+
   test("readOdsJson: reference JSON shape → flat dim, sicbl null-pad, last-entry-wins") {
     val dir = java.nio.file.Files.createTempDirectory("ods-json")
     val json =
