@@ -587,6 +587,12 @@ final class CdcEngine(
         dimDeltaMonthsAcc ++= ms
         dimVersion = head.epoch
       }
+      // no dimlog head: materialize the (deduped) seed to a local relation
+      // ONCE — activeDim is otherwise a lazy plan whose dedup window and
+      // seed scan would re-execute inside every epoch's enriched-commit
+      // broadcast build
+      if (dimVersion < 0L)
+        activeDim = Some(CdcEngine.materializeDim(activeDim.get))
     }
     // only after a SUCCESSFUL rebuild: a transient failure above (executor
     // loss mid-collect) must leave the flag unset so the next call retries,
