@@ -570,29 +570,30 @@ final class CdcEngine(
   private def ensureDimState(): Unit = synchronized {
     if (dimInited) return
     dimlog.foreach { dl =>
-      dl.latestManifest().foreach { head =>
-        val spark = dim.get.sparkSession
-        import spark.implicits._
-        val snap = LakeTable.readSnapshot(dl, spark)
-          .select(dim.get.columns.map(col).toIndexedSeq: _*)
-        // activeDim here is still the (deduped) seed — dimInited is false
-        val folded = activeDim.get
-          .join(snap.select("asid", "yearMonth").distinct(),
-            Seq("asid", "yearMonth"), "left_anti")
-          .unionByName(snap)
-        activeDim = Some(CdcEngine.materializeDim(folded))
-        val ms = snap.select(col("yearMonth").cast("int")).distinct()
-          .as[Int].collect().toSet
-        activeDimMonths = activeDimMonths.map(_ ++ ms)
-        dimDeltaMonthsAcc ++= ms
-        dimVersion = head.epoch
+      dl.latestManifest() match {
+        case Some(head) =>
+          val spark = dim.get.sparkSession
+          import spark.implicits._
+          val snap = LakeTable.readSnapshot(dl, spark)
+            .select(dim.get.columns.map(col).toIndexedSeq: _*)
+          // activeDim here is still the (deduped) seed — dimInited is false
+          val folded = activeDim.get
+            .join(snap.select("asid", "yearMonth").distinct(),
+              Seq("asid", "yearMonth"), "left_anti")
+            .unionByName(snap)
+          activeDim = Some(CdcEngine.materializeDim(folded))
+          val ms = snap.select(col("yearMonth").cast("int")).distinct()
+            .as[Int].collect().toSet
+          activeDimMonths = activeDimMonths.map(_ ++ ms)
+          dimDeltaMonthsAcc ++= ms
+          dimVersion = head.epoch
+        case None =>
+          // no dimlog head: materialize the (deduped) seed to a local
+          // relation ONCE — activeDim is otherwise a lazy plan whose dedup
+          // window and seed scan would re-execute inside every epoch's
+          // enriched-commit broadcast build
+          activeDim = Some(CdcEngine.materializeDim(activeDim.get))
       }
-      // no dimlog head: materialize the (deduped) seed to a local relation
-      // ONCE — activeDim is otherwise a lazy plan whose dedup window and
-      // seed scan would re-execute inside every epoch's enriched-commit
-      // broadcast build
-      if (dimVersion < 0L)
-        activeDim = Some(CdcEngine.materializeDim(activeDim.get))
     }
     // only after a SUCCESSFUL rebuild: a transient failure above (executor
     // loss mid-collect) must leave the flag unset so the next call retries,
