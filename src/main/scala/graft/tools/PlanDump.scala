@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round instrumentation (guide §1): dump `.explain("formatted")`
+  * for named declared queries to `plans/<tag>/<query>_<suffix>.txt`, and
+  * optionally time each with the noop sink after an untimed warm-up run.
+  *
+  * Usage: `sbt "runMain graft.tools.PlanDump <tag> <suffix> q1,q2,..."`
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS as in Bench; PLANDUMP_TIME=1
+  * adds 3 timed noop-sink runs per query (median printed).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val tag = if (args.length > 0) args(0) else "r07"
+    val suffix = if (args.length > 1) args(1) else "before"
+    val names = if (args.length > 2) args(2).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val doTime = sys.env.get("PLANDUMP_TIME").contains("1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Paths.get(s"plans/$tag")
+    java.nio.file.Files.createDirectories(dir)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
+        plan.getBytes("UTF-8"))
+      if (doTime) {
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm-up
+        val ts = Seq.fill(3)(run()).sorted
+        println(f"[plandump] $name median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      } else println(s"[plandump] $name plan written")
+    }
+    spark.stop()
+  }
+}
