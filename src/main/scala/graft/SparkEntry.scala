@@ -106,14 +106,23 @@ object SparkEntry {
           min("c_acctbal").as("min_acctbal"),
           max("c_acctbal").as("max_acctbal"))),
 
-    // ---- fact-to-fact shuffle join + broadcast dim ----
+    // ---- fact-to-fact shuffle join + broadcast dim. The per-orderkey
+    // partial aggregate runs BELOW the join (r7, guide §2.3 "aggregate
+    // before you shuffle"): the join consumes ~1 row per order instead of
+    // every line item, and the pre-agg keys on the join key so its exchange
+    // IS the join's exchange — same shuffle count, 4× fewer joined rows.
+    // n_items = Σ per-order counts and sum_qty = Σ per-order sums are
+    // exactly the flat aggregates (inner join, key-functional grouping). ----
     "q09_fact_join" -> ((s, d) =>
       t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(
+          count(lit(1)).as("__cnt"),
+          sum(col("l_quantity").cast("long")).as("__qty"))
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderstatus").agg(
-          count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))),
+          sum(col("__cnt")).as("n_items"),
+          sum(col("__qty")).as("sum_qty"))),
 
     // ---- A3 relational: outcome classification as a CASE tree ----
     "q10_outcome_case" -> ((s, d) =>
@@ -199,9 +208,15 @@ object SparkEntry {
     // k-gram Rabin–Karp rolling hash + per-window minima; the native
     // expression's polynomial equals naive per-gram evaluation, so the
     // DuckDB oracle replicates it relationally ----
+    // array_distinct BEFORE the explode (r7): winnowing re-selects the same
+    // gram hash across overlapping windows, so in-doc duplicates are the
+    // bulk of the exploded rows — dropping them array-locally shrinks the
+    // distinct's exchange; the trailing distinct keeps the declared set
+    // semantics (fp collisions across docs are distinct (doc_id, fp) rows
+    // either way, so output is identical)
     "d07_winnow_fp" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        explode(graft.functions.WinnowExpr.winnow(col("text"), 5, 4)).as("fp"))
+        explode(array_distinct(graft.functions.WinnowExpr.winnow(col("text"), 5, 4))).as("fp"))
         .distinct()),
 
     // ---- near-dup CLUSTERS: connected components over the verified pair

@@ -163,7 +163,21 @@ object CdcPipeline {
   def classifyParsed(repo: String, msgs: Seq[SpineMessage], cutoffMicros: Long,
                      eventCount: Long, dupes: Long,
                      minOff: Long, maxOff: Long): Option[TransferRecord] = {
-    val ordered = msgs.sortBy(_.timeMicros)
+    // Both batch callers hand msgs already (tsMicros, offset)-sorted, so the
+    // stable re-sort by time is a no-op order-wise — detect sortedness in
+    // one cheap pass and skip the per-group sortBy allocation (r7); the
+    // streaming state path may still deliver unsorted appends and takes the
+    // sort as before.
+    val isSorted = msgs.isInstanceOf[IndexedSeq[_]] && {
+      var i = 1
+      var ok = true
+      while (ok && i < msgs.length) {
+        if (msgs(i - 1).timeMicros > msgs(i).timeMicros) ok = false
+        i += 1
+      }
+      ok
+    }
+    val ordered = if (isSorted) msgs else msgs.sortBy(_.timeMicros)
     val counters = new graft.classifier.Gp2gpSession.Counters
     TransferClassifier.classify(ordered, cutoffMicros, counters).map { t =>
       TransferRecord(
@@ -867,7 +881,18 @@ final class CdcEngine(
       .getOrElse(0L) +
       pendingFresh.map(_.eventStats.collect {
         case (b, s) if touched(b) => s.rows }.sum).getOrElse(0L)
-    val semiJoinWins = priorTouchedRows > 4L * math.max(batchRows, 1L)
+    // Gate factor 4.0 — re-validated by an r7 A/B (ApplyProfile, 4 epochs ×
+    // ~112k events, sessions mostly epoch-disjoint): forcing the semi-join
+    // at prior ≈ batch (factor 1) DID cut fold-shuffle bytes ~2.5× (prior
+    // content stops crossing the exchange) but cost more wall at every
+    // epoch (4.3/2.9/2.9 s → 6.2/4.3/6.0 s) — the distinct-repos build +
+    // join passes outweigh shipping prior rows to the cheap pre-parse
+    // emit-on-change exit at this batch size. Env-tunable for cluster
+    // shapes where shuffle bytes, not passes, are the wall
+    // (`SPARK_GRAFT_SEMIJOIN_FACTOR`).
+    val semiJoinFactor = sys.env.get("SPARK_GRAFT_SEMIJOIN_FACTOR")
+      .map(_.toDouble).getOrElse(4.0)
+    val semiJoinWins = priorTouchedRows > semiJoinFactor * math.max(batchRows, 1L)
     // Prior-state events are folded but never RE-persisted (only fresh,
     // current-epoch events reach the state sink) — path/lang/op are null
     // LITERALS in asApplyRows (and content too on the parsed path), so

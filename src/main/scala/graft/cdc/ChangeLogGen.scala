@@ -175,11 +175,17 @@ object ChangeLogGen {
   }
 
   /** The distributed generator — deterministic at any parallelism. Slices
-    * 4× the core count so hot conversations don't straggle a whole task.
+    * 4× the core count so hot conversations don't straggle a whole task,
+    * capped at the conversation count: tiny fixture logs (the c-family
+    * oracle configs run 200-300 conversations) otherwise schedule ~128
+    * near-empty tasks per action, pure fixed cost (r7; row values are a
+    * pure function of the conversation index, so the slice count never
+    * changes the generated set).
     */
   def generate(spark: SparkSession, cfg: GenConfig): Dataset[ChangeEvent] = {
     import spark.implicits._
-    val slices = math.max(1, spark.sparkContext.defaultParallelism * 4)
+    val slices = math.max(1L, math.min(cfg.numConversations,
+      spark.sparkContext.defaultParallelism * 4L)).toInt
     spark.range(0L, cfg.numConversations, 1L, slices)
       .flatMap(conv => eventsOf(cfg, conv))
   }

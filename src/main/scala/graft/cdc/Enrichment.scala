@@ -219,10 +219,19 @@ object Enrichment {
              presentMonthsHint: Option[Set[Int]] = None): DataFrame = {
     val spark = transfers.sparkSession
     import spark.implicits._
-    val months = monthsHint.getOrElse(transfers
-      .select((year(timestamp_micros(col("dateRequestedMicros"))) * 100 +
-        month(timestamp_micros(col("dateRequestedMicros")))).cast("int").as("ym"))
-      .distinct().as[Int].collect().toSeq)
+    // With no months hint, the resolvable query months are derived from the
+    // DIM alone (r7): a query month resolves iff it or its previous month
+    // has a snapshot, so {m, next(m) | m ∈ present} COVERS every month any
+    // transfer could resolve — unresolvable months contribute no eff rows
+    // either way (null-pad), and extra months only add unmatched broadcast
+    // rows. The former formulation collected distinct months FROM THE
+    // TRANSFERS, which executed the caller's whole upstream plan once extra
+    // per enrich call (measured: c02/c05 ran generate+classify twice).
+    val present = presentMonthsHint.getOrElse(presentMonths(dim))
+    val months = monthsHint.getOrElse {
+      def next(ym: Int): Int = if (ym % 100 == 12) ym + 89 else ym + 1
+      (present ++ present.map(next)).toSeq
+    }
     // Schema-stable even for an empty/month-less input: callers union
     // enriched frames from different epochs (the CDC engine's pending
     // retro-correction rides a later epoch's commit), so a months-empty
@@ -233,7 +242,7 @@ object Enrichment {
         s"${p}_practice_ods_code", s"${p}_practice_name",
         s"${p}_practice_sicbl_ods_code", s"${p}_practice_sicbl_name"))
         .foldLeft(transfers)((df, n) => df.withColumn(n, lit(null).cast("string")))
-    val eff = effectiveAsOf(dim, months, presentMonthsHint)
+    val eff = effectiveAsOf(dim, months, Some(present))
     val reqDim = eff.select(
       (col("asid").as("__req_asid") +: col("yearMonth").as("__ym_r") +:
         roleCols("requesting")): _*)

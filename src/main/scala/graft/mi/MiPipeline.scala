@@ -156,34 +156,42 @@ object MiPipeline {
     def firstWhere(cond: Column, value: Column): Column =
       min(when(cond, struct(col("seq").as("o"), value.as("v")))).getField("v")
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("conversationId").orderBy(col("seq").asc)
+    // The 1st/2nd-arrival suppliers come out of the SAME sorted event list
+    // the output already collects (elements 1 and 2 of the seq-sorted
+    // array) instead of a row_number window: the window shared the agg's
+    // shuffle but still cost a full Sort + Window pass per run, removed
+    // here (r7, guide §2.4 — same key, one pass). The supplier rides the
+    // collected struct AFTER (seq, s), so the sort order is unchanged for
+    // every distinct (seq, s); element_at(_, 2) on a 1-element array is
+    // null, exactly like the former `__rn = 2` min over no rows.
     events
       .withColumn("__gen", gen)
       .withColumn("__tev", tev)
-      .withColumn("__rn", row_number().over(w)) // same key as the groupBy →
-      // Catalyst reuses the hash partitioning: one shuffle for window + agg
       .groupBy(col("conversationId").as("conversation_id"))
       .agg(
         // events list in arrival order — summary like mi_transfer.EventSummary
-        transform(
-          array_sort(collect_list(struct(col("seq"),
-            struct(
-              date_format(col("__gen"), "yyyy-MM-dd'T'HH:mm:ss").as("event_generated_datetime"),
-              col("eventType").as("event_type"),
-              col("eventId").as("event_id")).as("s")))),
-          x => x.getField("s")).as("events"),
-        firstWhere(col("__rn") === 1, col("reportingSystemSupplier")).as("requesting_supplier"),
-        // sending supplier = the 2nd event's reporter (null for singletons)
-        firstWhere(col("__rn") === 2, col("reportingSystemSupplier")).as("sending_supplier"),
+        array_sort(collect_list(struct(col("seq"),
+          struct(
+            date_format(col("__gen"), "yyyy-MM-dd'T'HH:mm:ss").as("event_generated_datetime"),
+            col("eventType").as("event_type"),
+            col("eventId").as("event_id")).as("s"),
+          col("reportingSystemSupplier").as("sup")))).as("__evs"),
         firstWhere(reqOds.isNotNull, reqOds).as("requesting_ods_code"),
         firstWhere(sndOds.isNotNull, sndOds).as("sending_ods_code"),
         firstWhere(isRequested, col("__tev")).as("__requested_at"),
         firstWhere(isReceived, col("__tev")).as("__received_at"))
-      .withColumn("slow_transfer",
+      .select(
+        col("conversation_id"),
+        transform(col("__evs"), x => x.getField("s")).as("events"),
+        // try_element_at, not element_at: ANSI mode (Spark 4 default)
+        // makes element_at THROW out of bounds; try_ yields the null a
+        // singleton conversation's missing 2nd event must produce
+        try_element_at(col("__evs"), lit(1)).getField("sup").as("requesting_supplier"),
+        // sending supplier = the 2nd event's reporter (null for singletons)
+        try_element_at(col("__evs"), lit(2)).getField("sup").as("sending_supplier"),
+        col("requesting_ods_code"), col("sending_ods_code"),
         when(col("__requested_at").isNull || col("__received_at").isNull, lit(null).cast("boolean"))
           .otherwise(unix_micros(col("__received_at")) - unix_micros(col("__requested_at"))
-            > 24L * 3600 * 1000000L))
-      .drop("__requested_at", "__received_at")
+            > 24L * 3600 * 1000000L).as("slow_transfer"))
   }
 }

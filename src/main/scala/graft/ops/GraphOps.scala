@@ -40,21 +40,33 @@ object GraphOps {
     // every round and the driver OOMs just rendering it by ~iteration 10.
     // On a real cluster swap for reliable checkpointing (sc.setCheckpointDir
     // + .checkpoint()) to also get executor-loss fault tolerance.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Seed = min(own id, min neighbor id): the first neighbor-propagation
+    // round folded into the init aggregate — one round (and its jobs) saved
+    // on every graph; cliques (the dedup common case) then converge on the
+    // first loop iteration's no-change probe.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("component"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node takes min(own component, neighbors' components)
+      // each node takes min(own component, neighbors' components); the
+      // labels row also CARRIES its previous component (`__old`) through
+      // the aggregate — max over exactly one non-null — so the convergence
+      // probe below is a scan of the checkpointed output instead of a
+      // join-with-shuffle of next vs labels per round
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
       // lazy cache (not an eager checkpoint): propagated is consumed twice
       // by the jump join below, and its lineage is already shallow because
       // `labels` is truncated — one materialization job per round, not two
-      val propagated = labels.select("id", "component").unionByName(viaNeighbors)
-        .groupBy("id").agg(min("component").as("component"))
+      val propagated = labels
+        .select(col("id"), col("component"), col("component").as("__old"))
+        .unionByName(viaNeighbors.withColumn("__old",
+          lit(null).cast(labels.schema("component").dataType)))
+        .groupBy("id").agg(min("component").as("component"), max("__old").as("__old"))
         .cache()
       // pointer jump: component ids are node ids, so resolve one more hop
       // (comp(comp(u))) — this is what makes long chains converge in
@@ -62,14 +74,13 @@ object GraphOps {
       val next = propagated.alias("n")
         .join(propagated.select(col("id").as("component"),
           col("component").as("component2")).alias("p"), Seq("component"), "left_outer")
-        .select(col("id"), coalesce(col("component2"), col("component")).as("component"))
+        .select(col("id"), coalesce(col("component2"), col("component")).as("component"),
+          col("__old"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.id") === col("l.id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .limit(1).count() // any-change probe, stops at the first hit
+      val changed = next.filter(col("component") =!= col("__old"))
+        .limit(1).count() // any-change probe over checkpointed rows, no join
       propagated.unpersist()
-      labels = next
+      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
     }

@@ -182,30 +182,49 @@ object TextOps {
     // `sigsRef` (parity-asserted in OpsSpec) with no explode to
     // docs×shingles rows, no hash-agg shuffle, one byte-hash per shingle
     // instead of numHashes. Docs with <k tokens have no shingles, can't be
-    // near-dups, and drop out (null signature) — same as explode dropping
-    // them. Optimization history: the ORIGINAL nested-HOF formulation was
+    // near-dups, and drop out (null signature) — dropped HERE by the
+    // explode (a null band array generates no rows) rather than by an
+    // isnotnull filter: the filter form is pushed below the projection and
+    // re-evaluates the whole signature expression per row (2× the scan
+    // stage — measured in the r7 before-plan, Filter(4)/Project(5)).
+    // Optimization history: the ORIGINAL nested-HOF formulation was
     // 510 s on 5k docs (interpreted lambdas re-shingling per seed), the
-    // explode+agg rewrite ~5 s, this one ~2× again on the full query.
-    val sigs = df.select(col(idCol).as("doc_id"),
-      graft.functions.MinHashSigExpr.minhashSig(col(textCol), k, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    // explode+agg rewrite ~5 s, the native expression ~2× again, and the
+    // r7 single-eval + bucket-group candidate stage ~2× once more.
+    val sigs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSig(col(textCol), k, numHashes).as("sig"))
     // candidate generation carries only (doc_id, band, bhash) — the shingle
-    // sets are attached AFTER the pair space is deduped, so the band join
-    // and distinct shuffle ids, not documents
+    // sets are attached AFTER the pair space is deduped, so the band
+    // aggregation and distinct shuffle ids, not documents. `when` keeps the
+    // generator multiply-referencing `sig`, so CollapseProject leaves the
+    // signature projection intact (single evaluation per row).
     val banded = sigs
-      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), explode(when(col("sig").isNotNull,
+        lshBands(col("sig"), bands, rowsPerBand))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash"))
-    val candidates = banded.alias("l")
-      .join(banded.alias("r"),
-        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // Bucket-group pair expansion instead of a band self-join: ONE pass
+    // over the corpus (the self-join planned both sides as independent
+    // scans — signatures were computed twice) and ONE shuffle of
+    // (band, bhash, doc_id). Pairs are expanded bucket-locally from the
+    // sorted id list (a<b by construction; the strict filter also drops
+    // same-id pairs exactly like the join's l.id < r.id). Bucket size is
+    // bounded by LSH band width — the same assumption the join relied on
+    // (a bucket of m docs produced m² probe rows there, m(m-1)/2 here).
+    val candidates = banded
+      .groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") < col("b"))
       .distinct()
       // the candidate id-pair table feeds THREE consumers (both sides of
       // the verify join and the pair-id semi-join) — cached so the corpus
-      // scan + signature + band join run once, not once per consumer
-      // (exchange reuse alone only dedups the banded side). Tiny payload:
-      // two id columns.
+      // scan + signature + band aggregation run once, not once per
+      // consumer. Tiny payload: two id columns.
       .cache()
     // exact-verification shingle sets are computed ONLY for docs that
     // appear in a candidate pair (left-semi on the pair ids BEFORE the
@@ -216,6 +235,12 @@ object TextOps {
     val sets = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .join(pairIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles(col("__t"), k)).as("sh"))
+      // cached: consumed by BOTH attach joins below — without it the
+      // semi-join + shingling subtree is planned twice (r7 before-plan
+      // Exchanges 23/35 vs 45/57), shuffling full document text twice;
+      // the cache also gives the planner real size stats, so the attach
+      // joins broadcast the (small) sets side instead of sort-merging
+      .cache()
     candidates
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -281,21 +306,37 @@ object TextOps {
     val bands = 64 / bandBits
     require(maxHamming < bands, s"pigeonhole needs maxHamming < $bands bands")
     val mask = (1L << bandBits) - 1
-    val s = df.select(col(idCol).as("id"),
-      graft.functions.SimHash64Expr.simhash64(col(textCol)).as("h"))
+    // single projection computes the simhash ONCE per row (the former
+    // self-join planned both sides as independent scans, and the join-key
+    // isnotnull constraint re-evaluated simhash64 below the projection —
+    // 2× per scan side, r7 before-plan Filter(2)/Project(3)); a null hash
+    // (null text) generates no band rows, matching the join's null-key drop
+    val s = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash64Expr.simhash64(col(textCol)).as("h"))
     val banded = s.select(col("id"), col("h"),
-      posexplode(array((0 until bands).map(b =>
-        call_function("shiftright", col("h"), lit(b * bandBits)).bitwiseAND(lit(mask))): _*)))
+      posexplode(when(col("h").isNotNull, array((0 until bands).map(b =>
+        call_function("shiftright", col("h"), lit(b * bandBits)).bitwiseAND(lit(mask))): _*))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
-    banded.alias("l")
-      .join(banded.alias("r"),
+    // The pair stage stays a codegen'd self-join here (unlike
+    // minhashNearDups' bucket-group expansion): simhash bands are only
+    // `bandBits` wide, so buckets are DENSE (corpus/2^bandBits docs each)
+    // and an interpreted in-bucket pair expansion loses badly to the hash
+    // join (measured 4× worse on the r7 fixture). The cache makes the
+    // corpus scan + simhash run once for both join sides. The hamming
+    // filter runs BEFORE the distinct, so the dedup shuffle carries only
+    // true near-pairs (≤ maxHamming) instead of every bucket collision —
+    // filter-then-distinct ≡ distinct-then-filter for a deterministic
+    // row-local predicate.
+    val b = banded.cache()
+    b.alias("l")
+      .join(b.alias("r"),
         col("l.band") === col("r.band") && col("l.bval") === col("r.bval") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.h").as("ha"), col("r.h").as("hb"))
-      .distinct()
-      .withColumn("hamming", hamming(col("ha"), col("hb")).cast("int"))
+        hamming(col("l.h"), col("r.h")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("a", "b", "hamming")
   }
 }

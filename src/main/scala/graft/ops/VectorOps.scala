@@ -351,15 +351,30 @@ object VectorOps {
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
+    // cached: consumed by the sketch pass AND both vector-attach joins —
+    // without it the corpus subtree (for e03 a union with a derived-planted
+    // arm) is scanned three times (r7); the cache also hands the planner
+    // real sizes so the attach joins pick sides on facts
     val s = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("id").isNotNull)
+      .cache()
     val banded = s.select(col("id"),
       posexplode(graft.functions.CosineSketchExpr.sketch(col("v"), bands, bitsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bhash"))
-    val candidates = banded.alias("l")
-      .join(banded.alias("r"),
-        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+    // bucket-group pair expansion instead of a band self-join (r7, same
+    // rationale as TextOps.minhashNearDups): ONE pass computes each sketch,
+    // ONE shuffle of (band, bhash, id); 2^bitsPerBand keeps buckets sparse,
+    // so in-bucket expansion from the sorted id list stays tiny. The strict
+    // a<b filter reproduces the join's l.id < r.id exactly.
+    val candidates = banded
+      .groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") < col("b"))
       .distinct()
     candidates
       .join(s.select(col("id").as("a"), col("v").as("va")), Seq("a"))

@@ -38,14 +38,34 @@ object PlanDump {
       java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
         plan.getBytes("UTF-8"))
       if (doTime) {
-        def run(): Double = {
+        // per-run job-wall accounting: total − Σ(job wall) ≈ driver-side
+        // (planning/optimization/codegen) time, the guide §7.3 split
+        val jobWall = new java.util.concurrent.atomic.AtomicLong()
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, js.time)
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(jobs.remove(je.jobId)).foreach(t0 => jobWall.addAndGet(je.time - t0))
+        })
+        // PLANDUMP_COLD=1: clear the DF cache before every timed run so
+        // operators that cache intermediates (d05/d08/e03) are timed the
+        // way the bench sees them — one cold run each, not cache replays
+        val cold = sys.env.get("PLANDUMP_COLD").contains("1")
+        def run(): (Double, Double) = {
+          if (cold) spark.catalog.clearCache()
+          jobWall.set(0L)
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(50) // let the listener bus drain the last job-end
+          (w, jobWall.get() / 1e3)
         }
         run() // warm-up
-        val ts = Seq.fill(3)(run()).sorted
-        println(f"[plandump] $name median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+        val rs = Seq.fill(3)(run()).sortBy(_._1)
+        val (med, medJobs) = rs(1)
+        println(f"[plandump] $name median=$med%.3f jobs=$medJobs%.3f driver=${med - medJobs}%.3f " +
+          f"runs=${rs.map(t => f"${t._1}%.3f").mkString(",")}")
       } else println(s"[plandump] $name plan written")
     }
     spark.stop()
