@@ -61,11 +61,11 @@ object PlanDump {
           Thread.sleep(50) // let the listener bus drain the last job-end
           (w, jobWall.get() / 1e3)
         }
-        run() // warm-up
+        val (coldW, _) = run() // warm-up; its wall = the cold (codegen-inclusive) cost
         val rs = Seq.fill(3)(run()).sortBy(_._1)
         val (med, medJobs) = rs(1)
         println(f"[plandump] $name median=$med%.3f jobs=$medJobs%.3f driver=${med - medJobs}%.3f " +
-          f"runs=${rs.map(t => f"${t._1}%.3f").mkString(",")}")
+          f"cold=$coldW%.3f runs=${rs.map(t => f"${t._1}%.3f").mkString(",")}")
       } else println(s"[plandump] $name plan written")
     }
     spark.stop()
