@@ -46,8 +46,9 @@ def main(base, cand):
         if bs != cs:
             bad.append((q, f"schema differs: {bs} vs {cs}"))
         elif br != cr:
-            diff_b = [r for r in br if r not in set(cr)][:3]
-            diff_c = [r for r in cr if r not in set(br)][:3]
+            cr_set, br_set = set(cr), set(br)
+            diff_b = [r for r in br if r not in cr_set][:3]
+            diff_c = [r for r in cr if r not in br_set][:3]
             bad.append((q, f"rows differ ({len(br)} vs {len(cr)}): "
                            f"only-base={diff_b} only-cand={diff_c}"))
         else:

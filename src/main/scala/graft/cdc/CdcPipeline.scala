@@ -891,7 +891,7 @@ final class CdcEngine(
     // shapes where shuffle bytes, not passes, are the wall
     // (`SPARK_GRAFT_SEMIJOIN_FACTOR`).
     val semiJoinFactor = sys.env.get("SPARK_GRAFT_SEMIJOIN_FACTOR")
-      .map(_.toDouble).getOrElse(4.0)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(4.0)
     val semiJoinWins = priorTouchedRows > semiJoinFactor * math.max(batchRows, 1L)
     // Prior-state events are folded but never RE-persisted (only fresh,
     // current-epoch events reach the state sink) — path/lang/op are null

@@ -146,6 +146,30 @@ object TextOps {
         array_min(transform(sh, s => xxhash64(s, seed))),
         lit(Long.MaxValue)))
 
+  /** Candidate pairs from LSH band buckets: group the (id, band, bandHash)
+    * rows by bucket, expand unordered id pairs bucket-locally from the
+    * sorted id list, and dedup pairs found in several bands. ONE pass over
+    * the banded rows and ONE shuffle of (band, hash, id); `a < b` holds by
+    * construction from the sorted list, and the strict filter drops same-id
+    * pairs exactly like a self-join's `l.id < r.id` would. Only suitable
+    * for SPARSE bucket spaces (wide hashes — MinHash band hashes, cosine
+    * sketches): for dense bucket spaces a codegen'd self-join wins (see
+    * simhashNearDups, measured 4× either way at r7). Shared by
+    * [[minhashNearDups]] and [[graft.ops.VectorOps.cosineNearDups]].
+    */
+  private[ops] def bandBucketPairs(banded: DataFrame, idCol: String,
+                                   bandCol: String, hashCol: String): DataFrame =
+    banded
+      .groupBy(col(bandCol), col(hashCol))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
   /** LSH banding: split the signature into `bands` bands and hash each —
     * docs sharing any band hash become candidate near-dup pairs.
     */
@@ -206,21 +230,10 @@ object TextOps {
     // Bucket-group pair expansion instead of a band self-join: ONE pass
     // over the corpus (the self-join planned both sides as independent
     // scans — signatures were computed twice) and ONE shuffle of
-    // (band, bhash, doc_id). Pairs are expanded bucket-locally from the
-    // sorted id list (a<b by construction; the strict filter also drops
-    // same-id pairs exactly like the join's l.id < r.id). Bucket size is
-    // bounded by LSH band width — the same assumption the join relied on
-    // (a bucket of m docs produced m² probe rows there, m(m-1)/2 here).
-    val candidates = banded
-      .groupBy(col("band"), col("bhash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    // (band, bhash, doc_id). Bucket size is bounded by LSH band width —
+    // the same assumption the join relied on (a bucket of m docs produced
+    // m² probe rows there, m(m-1)/2 here).
+    val candidates = bandBucketPairs(banded, "doc_id", "band", "bhash")
       // the candidate id-pair table feeds THREE consumers (both sides of
       // the verify join and the pair-id semi-join) — cached so the corpus
       // scan + signature + band aggregation run once, not once per

@@ -354,7 +354,12 @@ object VectorOps {
     // cached: consumed by the sketch pass AND both vector-attach joins —
     // without it the corpus subtree (for e03 a union with a derived-planted
     // arm) is scanned three times (r7); the cache also hands the planner
-    // real sizes so the attach joins pick sides on facts
+    // real sizes so the attach joins pick sides on facts. Lifetime is
+    // caller-scoped (like `candidates` below — Spark offers no
+    // unpersist-on-consume); at corpus scale MEMORY_AND_DISK degrades to a
+    // disk-backed materialized intermediate, still one scan of the source
+    // — drop the cache (re-scan per join) only if local disk is the
+    // tighter resource
     val s = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("id").isNotNull)
       .cache()
@@ -362,20 +367,11 @@ object VectorOps {
       posexplode(graft.functions.CosineSketchExpr.sketch(col("v"), bands, bitsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bhash"))
     // bucket-group pair expansion instead of a band self-join (r7, same
-    // rationale as TextOps.minhashNearDups): ONE pass computes each sketch,
-    // ONE shuffle of (band, bhash, id); 2^bitsPerBand keeps buckets sparse,
-    // so in-bucket expansion from the sorted id list stays tiny. The strict
-    // a<b filter reproduces the join's l.id < r.id exactly.
-    val candidates = banded
-      .groupBy(col("band"), col("bhash"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    // rationale as TextOps.minhashNearDups — shared helper): ONE pass
+    // computes each sketch, ONE shuffle of (band, bhash, id);
+    // 2^bitsPerBand keeps buckets sparse, so in-bucket expansion from the
+    // sorted id list stays tiny.
+    val candidates = TextOps.bandBucketPairs(banded, "id", "band", "bhash")
     candidates
       .join(s.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(s.select(col("id").as("b"), col("v").as("vb")), Seq("b"))

@@ -42,12 +42,13 @@ object PlanDump {
         // (planning/optimization/codegen) time, the guide §7.3 split
         val jobWall = new java.util.concurrent.atomic.AtomicLong()
         val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        val listener = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             jobs.put(js.jobId, js.time)
           override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
             Option(jobs.remove(je.jobId)).foreach(t0 => jobWall.addAndGet(je.time - t0))
-        })
+        }
+        spark.sparkContext.addSparkListener(listener)
         // PLANDUMP_COLD=1: clear the DF cache before every timed run so
         // operators that cache intermediates (d05/d08/e03) are timed the
         // way the bench sees them — one cold run each, not cache replays
@@ -63,6 +64,7 @@ object PlanDump {
         }
         val (coldW, _) = run() // warm-up; its wall = the cold (codegen-inclusive) cost
         val rs = Seq.fill(3)(run()).sortBy(_._1)
+        spark.sparkContext.removeSparkListener(listener) // one listener per query, not cumulative
         val (med, medJobs) = rs(1)
         println(f"[plandump] $name median=$med%.3f jobs=$medJobs%.3f driver=${med - medJobs}%.3f " +
           f"cold=$coldW%.3f runs=${rs.map(t => f"${t._1}%.3f").mkString(",")}")
