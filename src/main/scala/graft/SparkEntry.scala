@@ -238,11 +238,16 @@ object SparkEntry {
         graft.functions.SimHash64Expr.simhash64(col("text")).as("simhash"))),
 
     // ---- near-dup: SimHash Hamming-LSH pair join (deterministic recall by
-    // pigeonhole at maxHamming=3 over 8 bands, so the oracle's brute-force
-    // all-pairs Hamming join over the SQL-recomputed simhashes is EXACT;
-    // semantics also pinned by the planted-pair OpsSpec test) ----
+    // pigeonhole at maxHamming=3: ≤3 flipped bits can spoil ≤3 of the 4
+    // 16-bit bands, so the oracle's brute-force all-pairs Hamming join over
+    // the SQL-recomputed simhashes is EXACT; semantics also pinned by the
+    // planted-pair OpsSpec test). bandBits=16 (r7): the operator's
+    // documented corpus-scale lever — 8-bit bands put ~n²·bands/256 random
+    // collisions through the verify join (~390 k at sf0.1), 16-bit bands
+    // ~n²·bands/65536 (~1 k); output identical while recall stays total. ----
     "d08_simhash_dups" -> ((s, d) =>
-      TextOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      TextOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
+        bandBits = 16)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
 
     // ---- similarity: brute-force cosine top-k (baseline ANN). Oracle-able:
