@@ -242,9 +242,10 @@ object SparkEntry {
     // 16-bit bands, so the oracle's brute-force all-pairs Hamming join over
     // the SQL-recomputed simhashes is EXACT; semantics also pinned by the
     // planted-pair OpsSpec test). bandBits=16 (r7): the operator's
-    // documented corpus-scale lever — 8-bit bands put ~n²·bands/256 random
-    // collisions through the verify join (~390 k at sf0.1), 16-bit bands
-    // ~n²·bands/65536 (~1 k); output identical while recall stays total. ----
+    // documented corpus-scale lever — 8-bit bands put ~C(n,2)·bands/256
+    // random collisions through the verify join (~390 k at sf0.1), 16-bit
+    // bands ~C(n,2)·bands/65536 (~1.5 k); output identical while recall
+    // stays total. ----
     "d08_simhash_dups" -> ((s, d) =>
       TextOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
         bandBits = 16)

@@ -37,15 +37,26 @@ class R7RewriteSpec extends SparkSpec {
   }
 
   test("simhashNearDups output is band-width invariant (the d08 bandBits=16 lever)") {
-    // corpus with exact dups, 1-2-3-bit flips (all <= maxHamming) and
-    // unrelated docs: recall is total by pigeonhole at every legal width,
-    // so the verified output must be IDENTICAL across bandBits
+    // corpus with an exact dup, a NONZERO-hamming near-dup and unrelated
+    // docs: recall is total by pigeonhole at every legal width, so the
+    // verified output must be IDENTICAL across bandBits. The near-dup is
+    // picked SELF-VALIDATINGLY: scan single-token variants of `base` and
+    // take the first whose reference-simhash hamming lands in 1..3 — the
+    // fixture premise is asserted, not hoped for (a literal
+    // base.replace("word3", ...) would also hit word30-39 and overshoot).
     val base = (0 until 60).map(i => s"tok$i word$i item$i").mkString(" ")
+    val h0 = TextOps.simhashReference(base)
+    val near = (0 until 60).iterator
+      .map(i => base.split(" ", -1).updated(3 * i, s"tok${i}x").mkString(" "))
+      .find { t =>
+        val d = java.lang.Long.bitCount(h0 ^ TextOps.simhashReference(t))
+        d >= 1 && d <= 3
+      }
+    assert(near.isDefined, "fixture: no single-token variant lands in hamming 1..3")
+    val nearHam = java.lang.Long.bitCount(h0 ^ TextOps.simhashReference(near.get))
     val docs = Seq(
-      0L -> base, 1L -> base,
-      2L -> base.replace("tok7", "tok7x"),
-      3L -> base.replace("tok9", "tok9y").replace("word3", "word3z"),
-      4L -> (0 until 60).map(i => s"other$i thing$i").mkString(" "),
+      0L -> base, 1L -> base, 2L -> near.get,
+      3L -> (0 until 60).map(i => s"other$i thing$i").mkString(" "),
     ).toDF("doc_id", "text")
     def run(bits: Int) =
       TextOps.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, bandBits = bits)
@@ -53,6 +64,8 @@ class R7RewriteSpec extends SparkSpec {
     val at8 = run(8)
     assert(run(16) == at8, "16-bit bands must produce the 8-bit output")
     assert(at8.contains((0L, 1L, 0)), s"exact dup pair missing: $at8")
+    assert(at8.contains((0L, 2L, nearHam)) && at8.contains((1L, 2L, nearHam)),
+      s"nonzero-hamming pair (ham=$nearHam) missing: $at8")
   }
 
   test("cosineNearDups bucket-group path equals a brute-force cosine check") {
